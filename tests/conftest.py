@@ -1,0 +1,16 @@
+"""Test harness config: force an 8-device virtual CPU platform.
+
+Multi-chip sharding paths are exercised on a host-platform mesh as the
+TPU-parity substitute for real multi-chip hardware. Must run before jax
+is imported anywhere.
+"""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", False)
