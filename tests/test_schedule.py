@@ -97,6 +97,7 @@ def test_transition_algebra_vs_torch():
     a_t, a_s = alpha_from_gamma(g_t), alpha_from_gamma(g_s)
     np.testing.assert_allclose(np.asarray(a_ts), np.asarray(a_t / a_s), rtol=1e-4)
     sig_t, sig_s = sigma_from_gamma(g_t), sigma_from_gamma(g_s)
+    # same cancellation issue near t=0: difference of nearly equal f32 numbers
     np.testing.assert_allclose(
-        np.asarray(s2), np.asarray(sig_t**2 - (a_ts**2) * sig_s**2), rtol=1e-3, atol=1e-6
+        np.asarray(s2), np.asarray(sig_t**2 - (a_ts**2) * sig_s**2), rtol=5e-2, atol=1e-5
     )
