@@ -1,0 +1,204 @@
+"""EGNN noise-prediction dynamics — TPU re-design of the reference
+LigRecDynamics / LigRecEGNN / LigRecConv stack (models/dynamics.py:221-441).
+
+Differences from the reference that are *layout*, not math:
+  * ligand-ligand and keypoint-ligand edges are dense masked pair grids
+    rebuilt every call from current positions (the reference rebuilds DGL
+    edge lists with torch_cluster each call, dynamics.py:387-420);
+  * keypoint-keypoint edges are built ONCE by the encoder and passed in
+    (the reference stores them in the graph; they are identical every step);
+  * the timestep is appended as a feature channel exactly as the reference
+    does (hidden size becomes hidden_nf+1, dynamics.py:336-339,359-363).
+
+Executed-behavior parity: coordinate messages flow on ALL edge types,
+including kk and lk, because the reference's zeroing branch is dead code
+(dynamics.py:115-116) — so keypoint positions drift within a forward pass
+when update_kp_feat=True. Replicated deliberately; see models/egnn.py.
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from kpdiff_tpu.models.egnn import EGNNEdgeDense, EGNNEdgeNbrList, NodeUpdate
+from kpdiff_tpu.models.nn import MLP
+from kpdiff_tpu.ops.neighbors import dense_knn_adjacency, dense_radius_adjacency
+
+
+class EGNNConvLayer(nn.Module):
+    """One heterograph EGNN layer over {ll, kl} (+ {lk, kk} when
+    update_kp_feat). Mirrors LigRecConv (dynamics.py:9-217)."""
+
+    hidden_size: int
+    use_tanh: bool
+    update_kp_feat: bool
+    norm: bool
+    kk_layout: str = "dense"  # 'dense' | 'nbr'
+
+    @nn.compact
+    def __call__(self, h, x, edges, z, masks):
+        # h/x: dicts with 'lig', 'kp' -> (B, N, F)/(B, N, 3)
+        # edges: dict 'll','kl' dense adj; 'lk' dense adj; 'kk' dense adj or (idx, valid)
+        # z: dict ntype -> scalar or (B,1,1) message normalizer
+        agg_h = {"lig": 0.0, "kp": 0.0}
+        agg_x = {"lig": 0.0, "kp": 0.0}
+
+        def dense(name, src, dst, adj):
+            mod = EGNNEdgeDense(
+                hidden_size=self.hidden_size,
+                use_tanh=self.use_tanh,
+                coords_range=10.0,
+                coord_hidden_layers=2,
+                name=f"edge_{name}",
+            )
+            dh, dx = mod(h[src], h[dst], x[src], x[dst], adj)
+            agg_h[dst] = agg_h[dst] + dh
+            agg_x[dst] = agg_x[dst] + dx
+
+        dense("ll", "lig", "lig", edges["ll"])
+        dense("kl", "kp", "lig", edges["kl"])
+
+        if self.update_kp_feat:
+            dense("lk", "lig", "kp", edges["lk"])
+            if self.kk_layout == "dense":
+                dense("kk", "kp", "kp", edges["kk"])
+            else:
+                idx, valid = edges["kk"]
+                mod = EGNNEdgeNbrList(
+                    hidden_size=self.hidden_size,
+                    use_tanh=self.use_tanh,
+                    coords_range=10.0,
+                    coord_hidden_layers=2,
+                    name="edge_kk",
+                )
+                dh, dx = mod(h["kp"], h["kp"], x["kp"], x["kp"], idx, valid)
+                agg_h["kp"] = agg_h["kp"] + dh
+                agg_x["kp"] = agg_x["kp"] + dx
+
+        updated = ["lig", "kp"] if self.update_kp_feat else ["lig"]
+        h_out, x_out = dict(h), dict(x)
+        for ntype in updated:
+            hn = agg_h[ntype] / z[ntype]
+            xn = agg_x[ntype] / z[ntype]
+            new_h = NodeUpdate(self.hidden_size, self.hidden_size, norm=self.norm, name=f"update_{ntype}")(
+                h[ntype], hn
+            )
+            m = masks[ntype][..., None].astype(new_h.dtype)
+            h_out[ntype] = new_h * m
+            x_out[ntype] = (x[ntype] + xn) * m
+        return h_out, x_out
+
+
+class EGNNDynamics(nn.Module):
+    """LigRecDynamics equivalent: encode features, append t, run n_layers
+    of hetero EGNN, decode noise predictions (dynamics.py:298-441)."""
+
+    atom_nf: int
+    rec_nf: int  # keypoint feature size entering the dynamics
+    n_layers: int = 6
+    hidden_nf: int = 256
+    use_tanh: bool = False
+    message_norm: float = 1.0  # 0 -> normalize by avg in-degree + 1 (dynamics.py:281-285)
+    update_kp_feat: bool = False
+    norm: bool = False
+    ll_k: int = 0
+    kl_k: int = 0
+    ll_cutoff: float = 9.0  # graph_cutoffs['ll']
+    kl_cutoff: float = 8.0  # graph_cutoffs['kl']
+    kk_layout: str = "dense"
+
+    @nn.compact
+    def __call__(
+        self,
+        lig_x: jnp.ndarray,  # (B, Nl, 3)
+        lig_h: jnp.ndarray,  # (B, Nl, atom_nf)
+        lig_mask: jnp.ndarray,  # (B, Nl)
+        kp_x: jnp.ndarray,  # (B, K, 3)
+        kp_h: jnp.ndarray,  # (B, K, rec_nf)
+        kp_mask: jnp.ndarray,  # (B, K)
+        t: jnp.ndarray,  # (B,)
+        kk_edges=None,  # dense (B,K,K) bool, or (idx, valid) nbr list; required if update_kp_feat
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        b, nl = lig_mask.shape
+        k = kp_mask.shape[1]
+
+        # feature encoders (dynamics.py:313-334)
+        lig_feat = MLP([64, self.hidden_nf], ["silu", "silu"], name="lig_encoder")(lig_h)
+        if self.rec_nf != self.hidden_nf:
+            kp_feat = MLP([2 * self.rec_nf, self.hidden_nf], ["silu", "silu"], name="kp_encoder")(kp_h)
+        else:
+            kp_feat = kp_h
+
+        # append timestep channel
+        t_lig = jnp.broadcast_to(t[:, None, None], (b, nl, 1)).astype(lig_feat.dtype)
+        t_kp = jnp.broadcast_to(t[:, None, None], (b, k, 1)).astype(kp_feat.dtype)
+        lig_feat = jnp.concatenate([lig_feat, t_lig], axis=-1)
+        kp_feat = jnp.concatenate([kp_feat, t_kp], axis=-1)
+        lig_feat = lig_feat * lig_mask[..., None]
+        kp_feat = kp_feat * kp_mask[..., None]
+
+        # rebuild ligand edges from current positions (dynamics.py:387-420)
+        if self.ll_k > 0:
+            ll = dense_knn_adjacency(lig_x, lig_mask, lig_x, lig_mask, self.ll_k, per="dst", exclude_self=True)
+        else:
+            ll = dense_radius_adjacency(lig_x, lig_mask, lig_x, lig_mask, self.ll_cutoff, exclude_self=True)
+        if self.kl_k > 0:
+            kl = dense_knn_adjacency(kp_x, kp_mask, lig_x, lig_mask, self.kl_k, per="src")
+        else:
+            kl = dense_radius_adjacency(kp_x, kp_mask, lig_x, lig_mask, self.kl_cutoff)
+
+        edges: Dict[str, jnp.ndarray] = {"ll": ll, "kl": kl}
+        if self.update_kp_feat:
+            edges["lk"] = jnp.swapaxes(kl, 1, 2)
+            if kk_edges is None:
+                raise ValueError("kk_edges required when update_kp_feat=True")
+            edges["kk"] = kk_edges
+
+        # message normalizers (dynamics.py:275-285): avg in-degree + 1 per graph
+        z = {}
+        if self.message_norm == 0:
+            n_lig = jnp.maximum(jnp.sum(lig_mask, axis=1), 1)
+            e_lig = jnp.sum(ll, axis=(1, 2)) + jnp.sum(kl, axis=(1, 2))
+            z["lig"] = (e_lig / n_lig + 1.0)[:, None, None]
+            if self.update_kp_feat:
+                n_kp = jnp.maximum(jnp.sum(kp_mask, axis=1), 1)
+                if self.kk_layout == "dense":
+                    e_kk = jnp.sum(edges["kk"], axis=(1, 2))
+                else:
+                    e_kk = jnp.sum(edges["kk"][1], axis=(1, 2))
+                e_kp = jnp.sum(edges["lk"], axis=(1, 2)) + e_kk
+                z["kp"] = (e_kp / n_kp + 1.0)[:, None, None]
+            else:
+                z["kp"] = 1.0
+        else:
+            z["lig"] = float(self.message_norm)
+            z["kp"] = float(self.message_norm)
+
+        h = {"lig": lig_feat, "kp": kp_feat}
+        x = {"lig": lig_x, "kp": kp_x}
+        masks = {"lig": lig_mask, "kp": kp_mask}
+        kp_h0, kp_x0 = kp_feat, kp_x
+
+        for i in range(self.n_layers):
+            if not self.update_kp_feat:
+                # reference re-reads original kp state every layer when kp is
+                # not updated (dynamics.py:288-292)
+                h["kp"], x["kp"] = kp_h0, kp_x0
+            h, x = EGNNConvLayer(
+                hidden_size=self.hidden_nf + 1,
+                use_tanh=self.use_tanh,
+                update_kp_feat=self.update_kp_feat,
+                norm=self.norm,
+                kk_layout=self.kk_layout,
+                name=f"conv{i}",
+            )(h, x, edges, z, masks)
+
+        # decode (dynamics.py:376-381)
+        h_lig = h["lig"][..., :-1]  # strip t channel
+        eps_h = MLP([2 * self.atom_nf, self.atom_nf], ["silu", ""], name="lig_decoder")(h_lig)
+        eps_x = x["lig"] - lig_x
+
+        m = lig_mask[..., None]
+        return eps_h * m, eps_x * m

@@ -1,0 +1,209 @@
+"""E(3)-equivariant message passing over padded dense pair grids and
+neighbor lists — the TPU replacement for the reference's DGL hetero-EGNN
+(models/dynamics.py:9-294 and the EGNN half of models/receptor_encoder.py).
+
+Layout strategy:
+  * dense pair grid (B, Ns, Nd): every (src,dst) pair gets a message slot,
+    gated by a boolean adjacency. Used for ligand/keypoint edge types whose
+    node sets are tiny (<=~128) — the overcompute is cheaper on the MXU
+    than any gather/scatter.
+  * destination-major neighbor list (B, Nd, K): src indices gathered per
+    destination, aggregation is a sum over the K axis (no scatter). Used
+    for pocket-scale node sets (rec-rec, all-atom keypoints).
+
+Faithfulness notes (executed-behavior parity with the reference):
+  * The reference's branch that was meant to zero coordinate messages on
+    kk/lk edges is dead code (`edge_type[1] in ["kk","lk"]` compares one
+    char against two-char strings — dynamics.py:115-116), so keypoint
+    COORDINATES DO RECEIVE UPDATES when update_kp_feat=True. We replicate
+    the executed behavior: coord messages are computed for every edge type.
+  * x_diff is (x_src - x_dst) / (dij + 1)   (dynamics.py:160-170).
+  * message MLP input is concat(h_src, h_dst, dij) with RAW distance
+    (dynamics.py:210-217 computes a norm, not a squared norm, despite the
+    "radial ||x_i-x_j||^2" comment).
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from kpdiff_tpu.models.nn import MLP, TorchLinear, xavier_uniform_scaled
+
+
+class EGNNEdgeDense(nn.Module):
+    """EGNN messages for one edge type over a dense (B, Ns, Nd) pair grid.
+
+    Computes feature messages (edge MLP + sigmoid soft-attention gate,
+    dynamics.py:36-54,110-112) and coordinate messages (coord MLP on the
+    same pair input, optionally tanh-clamped, dynamics.py:66-79,114-120),
+    then mask-aggregates both onto destinations.
+
+    The first linear of each MLP is factorized into per-node matmuls:
+    W @ concat(h_src, h_dst, d) == W_s h_src + W_d h_dst + w d, so the only
+    per-pair matmuls are the hidden->hidden layers.
+    """
+
+    hidden_size: int
+    use_tanh: bool = False
+    coords_range: float = 10.0
+    coord_hidden_layers: int = 2  # dynamics uses 2 (dynamics.py:71-78); encoder uses 1 (receptor_encoder.py:63-67)
+    compute_coord: bool = True  # False replicates fix_pos (receptor_encoder.py:89-90)
+    edge_feat_size: int = 0
+
+    @nn.compact
+    def __call__(
+        self,
+        h_src: jnp.ndarray,  # (B, Ns, F)
+        h_dst: jnp.ndarray,  # (B, Nd, F)
+        x_src: jnp.ndarray,  # (B, Ns, 3)
+        x_dst: jnp.ndarray,  # (B, Nd, 3)
+        adj: jnp.ndarray,  # (B, Ns, Nd) bool
+        edge_feat: Optional[jnp.ndarray] = None,  # (B, Ns, Nd, E)
+    ):
+        f_in = h_src.shape[-1]
+        h = self.hidden_size
+
+        diff = x_src[:, :, None, :] - x_dst[:, None, :, :]  # (B,Ns,Nd,3)
+        # padded nodes can carry garbage positions; clean them so no inf/nan
+        diff = jnp.where(adj[..., None], diff, 0.0)
+        dij = jnp.linalg.norm(diff + 1e-30, axis=-1, keepdims=True)  # (B,Ns,Nd,1)
+        x_unit = diff / (dij + 1.0)
+
+        def pair_preact(name):
+            w_s = self.param(f"{name}_w_src", nn.initializers.variance_scaling(1 / 3, "fan_in", "uniform"), (f_in, h))
+            w_d = self.param(f"{name}_w_dst", nn.initializers.variance_scaling(1 / 3, "fan_in", "uniform"), (f_in, h))
+            w_dij = self.param(f"{name}_w_dij", nn.initializers.variance_scaling(1 / 3, "fan_in", "uniform"), (1 + self.edge_feat_size, h))
+            fan_in = 2 * f_in + 1 + self.edge_feat_size
+            b = self.param(
+                f"{name}_b",
+                lambda k, s: jnp.asarray(
+                    nn.initializers.uniform(scale=2.0)(k, s) - 1.0, jnp.float32
+                ) / jnp.sqrt(jnp.asarray(fan_in, jnp.float32)),
+                (h,),
+            )
+            scalars = dij if edge_feat is None else jnp.concatenate([dij, edge_feat], axis=-1)
+            pre = (
+                (h_src @ w_s)[:, :, None, :]
+                + (h_dst @ w_d)[:, None, :, :]
+                + scalars @ w_dij
+                + b
+            )
+            return pre
+
+        # feature messages: Linear→SiLU→Linear→SiLU, then sigmoid gate
+        m = nn.silu(pair_preact("edge"))
+        m = nn.silu(TorchLinear(h, name="edge_lin2")(m))
+        gate = nn.sigmoid(TorchLinear(1, name="attn")(m))
+        msg_h = m * gate
+
+        adj_f = adj.astype(h_src.dtype)
+        agg_h = jnp.einsum("bsd,bsdh->bdh", adj_f, msg_h)
+
+        if not self.compute_coord:
+            return agg_h, jnp.zeros_like(x_dst)
+
+        c = nn.silu(pair_preact("coord"))
+        for i in range(self.coord_hidden_layers - 1):
+            c = nn.silu(TorchLinear(h, name=f"coord_lin{i + 2}")(c))
+        # xavier_uniform with gain 0.001 on the output layer (dynamics.py:69-70)
+        w_out = self.param("coord_out_w", xavier_uniform_scaled(0.001), (h, 1))
+        scalar = c @ w_out  # (B,Ns,Nd,1)
+        if self.use_tanh:
+            msg_x = jnp.tanh(scalar) * x_unit * self.coords_range
+        else:
+            msg_x = scalar * x_unit
+        agg_x = jnp.einsum("bsd,bsdc->bdc", adj_f, msg_x)
+        return agg_h, agg_x
+
+
+class EGNNEdgeNbrList(nn.Module):
+    """Same EGNN edge math over a destination-major neighbor list.
+
+    nbr_idx (B, Nd, K) indexes into the source set; nbr_valid masks slots.
+    Aggregation is a masked sum over K — no scatter.
+    """
+
+    hidden_size: int
+    use_tanh: bool = False
+    coords_range: float = 10.0
+    coord_hidden_layers: int = 2
+    compute_coord: bool = True
+    edge_feat_size: int = 0
+
+    @nn.compact
+    def __call__(
+        self,
+        h_src: jnp.ndarray,  # (B, Ns, F)
+        h_dst: jnp.ndarray,  # (B, Nd, F)
+        x_src: jnp.ndarray,
+        x_dst: jnp.ndarray,
+        nbr_idx: jnp.ndarray,  # (B, Nd, K) int32
+        nbr_valid: jnp.ndarray,  # (B, Nd, K) bool
+        edge_feat: Optional[jnp.ndarray] = None,  # (B, Nd, K, E)
+    ):
+        f_in = h_src.shape[-1]
+        h = self.hidden_size
+
+        h_nbr = jnp.take_along_axis(h_src[:, :, None, :], nbr_idx[..., None], axis=1)  # (B,Nd,K,F)
+        x_nbr = jnp.take_along_axis(x_src[:, :, None, :], nbr_idx[..., None], axis=1)  # (B,Nd,K,3)
+        diff = x_nbr - x_dst[:, :, None, :]
+        diff = jnp.where(nbr_valid[..., None], diff, 0.0)
+        dij = jnp.linalg.norm(diff + 1e-30, axis=-1, keepdims=True)
+        x_unit = diff / (dij + 1.0)
+
+        def pair_preact(name):
+            w_s = self.param(f"{name}_w_src", nn.initializers.variance_scaling(1 / 3, "fan_in", "uniform"), (f_in, h))
+            w_d = self.param(f"{name}_w_dst", nn.initializers.variance_scaling(1 / 3, "fan_in", "uniform"), (f_in, h))
+            w_dij = self.param(f"{name}_w_dij", nn.initializers.variance_scaling(1 / 3, "fan_in", "uniform"), (1 + self.edge_feat_size, h))
+            fan_in = 2 * f_in + 1 + self.edge_feat_size
+            b = self.param(
+                f"{name}_b",
+                lambda k, s: jnp.asarray(
+                    nn.initializers.uniform(scale=2.0)(k, s) - 1.0, jnp.float32
+                ) / jnp.sqrt(jnp.asarray(fan_in, jnp.float32)),
+                (h,),
+            )
+            scalars = dij if edge_feat is None else jnp.concatenate([dij, edge_feat], axis=-1)
+            return h_nbr @ w_s + (h_dst @ w_d)[:, :, None, :] + scalars @ w_dij + b
+
+        m = nn.silu(pair_preact("edge"))
+        m = nn.silu(TorchLinear(h, name="edge_lin2")(m))
+        gate = nn.sigmoid(TorchLinear(1, name="attn")(m))
+        msg_h = m * gate
+
+        valid_f = nbr_valid[..., None].astype(h_src.dtype)
+        agg_h = jnp.sum(msg_h * valid_f, axis=2)
+
+        if not self.compute_coord:
+            return agg_h, jnp.zeros_like(x_dst)
+
+        c = nn.silu(pair_preact("coord"))
+        for i in range(self.coord_hidden_layers - 1):
+            c = nn.silu(TorchLinear(h, name=f"coord_lin{i + 2}")(c))
+        w_out = self.param("coord_out_w", xavier_uniform_scaled(0.001), (h, 1))
+        scalar = c @ w_out
+        if self.use_tanh:
+            msg_x = jnp.tanh(scalar) * x_unit * self.coords_range
+        else:
+            msg_x = scalar * x_unit
+        agg_x = jnp.sum(msg_x * valid_f, axis=2)
+        return agg_h, agg_x
+
+
+class NodeUpdate(nn.Module):
+    """phi_h residual update + optional LayerNorm (dynamics.py:57-64,199-205)."""
+
+    hidden_size: int
+    out_size: int
+    norm: bool = False
+
+    @nn.compact
+    def __call__(self, h, h_agg):
+        inp = jnp.concatenate([h, h_agg], axis=-1)
+        upd = MLP([self.hidden_size, self.out_size], ["silu", ""], name="node_mlp")(inp)
+        out = h + upd
+        if self.norm:
+            out = nn.LayerNorm(epsilon=1e-5)(out)
+        return out

@@ -6,11 +6,14 @@ is imported anywhere.
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"  # force: the session may pre-set a TPU platform
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
 
+# The container's sitecustomize registers the TPU backend and overrides
+# JAX_PLATFORMS; this config update wins over both.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
