@@ -1,0 +1,46 @@
+"""Device mesh + sharding helpers.
+
+The reference has NO distributed story (single GPU, train.py:398-399;
+scale-out is SLURM array jobs, SURVEY.md §2.4). Here, scaling is
+first-class: a 1-D 'data' mesh shards the batch dimension of every
+PaddedComplex leaf; gradients are combined by XLA's SPMD partitioner
+(psum over ICI) inside the jitted train step. The mesh is built with a
+'data' axis by default but helpers accept any axis layout so tensor
+axes can be added later without touching call sites.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: Optional[int] = None, axis_names: Sequence[str] = ("data",)) -> Mesh:
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    shape = (len(devices),) + (1,) * (len(axis_names) - 1)
+    return Mesh(np.array(devices).reshape(shape), axis_names)
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard dim 0 (batch) across 'data', replicate the rest."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch_pytree(tree, mesh: Mesh):
+    """Device-put every array leaf with its batch dim sharded over 'data'."""
+    sh = batch_sharding(mesh)
+
+    def put(x):
+        if x is None:
+            return None
+        return jax.device_put(x, sh)
+
+    return jax.tree_util.tree_map(put, tree)

@@ -1,0 +1,178 @@
+"""Training driver: optax optimizer, jitted data-parallel train step,
+orbax checkpoints, metric logging.
+
+Optimization matches the reference recipe (train.py:430-448,531-543):
+Adam with torch-style coupled weight decay (L2 added to the gradient
+BEFORE the Adam moments — torch.optim.Adam semantics, not AdamW),
+elementwise gradient value clipping at clip_value, loss =
+l2 + w_rec * rec_encoder (+ w_rl * rl_hinge).
+
+Scaling (absent in the single-GPU reference, SURVEY.md §2.4): the train
+step is jitted with the batch pytree sharded over a 'data' mesh axis and
+params replicated; XLA's SPMD partitioner inserts the gradient psum over
+ICI automatically.
+"""
+from __future__ import annotations
+
+import dataclasses
+import pickle
+import time
+from pathlib import Path
+from typing import Any, Optional
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from kpdiff_tpu.models.diffusion import KeypointDiffusion
+from kpdiff_tpu.parallel.mesh import batch_sharding, replicated
+from kpdiff_tpu.training.scheduler import SchedulerConfig, learning_rate, rec_encoder_weight
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    learning_rate: float = 1e-4
+    weight_decay: float = 1e-12
+    clip_grad: bool = True
+    clip_value: float = 1.5
+    batch_size: int = 32
+    epochs: int = 3
+    rec_encoder_loss_weight: float = 0.1
+    rl_hinge_loss_weight: float = 0.0
+    scheduler: SchedulerConfig = dataclasses.field(default_factory=SchedulerConfig)
+
+
+@flax.struct.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray  # int32 scalar
+
+
+def make_optimizer(cfg: TrainConfig):
+    """Adam + coupled (torch-style) weight decay + value clipping.
+
+    LR is injected per-step via optax.inject_hyperparams so the reference's
+    manual warmup/restart scheduler (scheduler.py:42-62) can drive it from
+    inside the jitted step.
+    """
+    chain = []
+    if cfg.clip_grad:
+        chain.append(optax.clip(cfg.clip_value))  # clip grad VALUES (train.py:541-542)
+    if cfg.weight_decay:
+        chain.append(optax.add_decayed_weights(cfg.weight_decay))
+    chain.append(optax.inject_hyperparams(optax.adam)(learning_rate=cfg.learning_rate))
+    return optax.chain(*chain)
+
+
+def _set_lr(opt_state, lr):
+    """Overwrite the injected learning_rate hyperparam in the optax chain state."""
+    new = []
+    for node in opt_state:
+        if hasattr(node, "hyperparams") and "learning_rate" in getattr(node, "hyperparams", {}):
+            hp = dict(node.hyperparams)
+            hp["learning_rate"] = jnp.asarray(lr, jnp.float32)
+            node = node._replace(hyperparams=hp)
+        new.append(node)
+    return tuple(new)
+
+
+def make_train_step(
+    model: KeypointDiffusion,
+    cfg: TrainConfig,
+    optimizer,
+    iters_per_epoch: int,
+    mesh=None,
+):
+    """Returns a jitted (state, rng, batch) -> (state, metrics) step."""
+    sched = cfg.scheduler
+
+    def step_fn(state: TrainState, rng, batch):
+        epoch_exact = state.step.astype(jnp.float32) / iters_per_epoch
+        w_rec = rec_encoder_weight(sched, epoch_exact)
+        lr = learning_rate(sched, epoch_exact)
+
+        def full_loss(params):
+            losses = model.loss(params, rng, batch)
+            total = losses["l2"] + w_rec * losses["rec_encoder"]
+            if "rl_hinge" in losses:
+                total = total + cfg.rl_hinge_loss_weight * losses["rl_hinge"]
+            return total, losses
+
+        (total, losses), grads = jax.value_and_grad(full_loss, has_aux=True)(state.params)
+
+        opt_state = _set_lr(state.opt_state, lr)
+        updates, opt_state = optimizer.update(grads, opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+
+        metrics = dict(losses)
+        metrics["total"] = total
+        metrics["lr"] = lr
+        metrics["rec_enc_weight"] = w_rec
+        new_state = TrainState(params=params, opt_state=opt_state, step=state.step + 1)
+        return new_state, metrics
+
+    if mesh is None:
+        return jax.jit(step_fn, donate_argnums=(0,))
+
+    rep = replicated(mesh)
+    data = batch_sharding(mesh)
+    # single shardings broadcast as pytree prefixes over each argument
+    return jax.jit(
+        step_fn,
+        in_shardings=(rep, rep, data),
+        out_shardings=(rep, rep),
+        donate_argnums=(0,),
+    )
+
+
+def init_train_state(model: KeypointDiffusion, optimizer, rng, example_batch) -> TrainState:
+    params = model.init(rng, example_batch)
+    opt_state = optimizer.init(params)
+    return TrainState(params=params, opt_state=opt_state, step=jnp.zeros((), jnp.int32))
+
+
+# --------------------------------------------------------------------------
+# checkpointing (reference: torch.save of the bare state_dict only,
+# utils.py:65-66 — optimizer moments were lost on resume. Here orbax saves
+# the full TrainState including opt_state; SURVEY.md §5.4 gap fixed.)
+# --------------------------------------------------------------------------
+
+def save_checkpoint(ckpt_dir: Path, state: TrainState, step: Optional[int] = None):
+    import orbax.checkpoint as ocp
+
+    ckpt_dir = Path(ckpt_dir).absolute()
+    ckpt_dir.mkdir(parents=True, exist_ok=True)
+    step = int(state.step) if step is None else step
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(ckpt_dir / f"step_{step}", state, force=True)
+
+
+def load_checkpoint(ckpt_dir: Path, target: TrainState, step: Optional[int] = None) -> TrainState:
+    import orbax.checkpoint as ocp
+
+    ckpt_dir = Path(ckpt_dir).absolute()
+    if step is None:
+        steps = sorted(int(p.name.split("_")[1]) for p in ckpt_dir.glob("step_*"))
+        if not steps:
+            raise FileNotFoundError(f"no checkpoints under {ckpt_dir}")
+        step = steps[-1]
+    with ocp.StandardCheckpointer() as ckptr:
+        return ckptr.restore(ckpt_dir / f"step_{step}", target)
+
+
+class MetricsLog:
+    """Append-mode pickle metrics log (reference train_metrics.pkl /
+    test_metrics.pkl, train.py:390-393,586-588,622-624)."""
+
+    def __init__(self, path: Path):
+        self.path = Path(path)
+        self.rows = []
+        self._t0 = time.time()
+
+    def append(self, **row):
+        row.setdefault("time_passed", time.time() - self._t0)
+        self.rows.append({k: (float(v) if hasattr(v, "item") else v) for k, v in row.items()})
+        with open(self.path, "wb") as f:
+            pickle.dump(self.rows, f)

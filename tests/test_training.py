@@ -1,0 +1,129 @@
+"""Training loop: scheduler golden values, smoke train (loss decreases),
+data-parallel equivalence on the 8-device CPU mesh, checkpoint roundtrip."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from kpdiff_tpu.config import PaddingConfig
+from kpdiff_tpu.data.dataset import PaddedLoader, synthetic_dataset
+from kpdiff_tpu.models.complex import synthetic_batch
+from kpdiff_tpu.models.diffusion import DiffusionConfig, KeypointDiffusion
+from kpdiff_tpu.parallel.mesh import make_mesh, shard_batch_pytree
+from kpdiff_tpu.training.scheduler import SchedulerConfig, learning_rate, rec_encoder_weight
+from kpdiff_tpu.training.trainer import (
+    TrainConfig,
+    init_train_state,
+    load_checkpoint,
+    make_optimizer,
+    make_train_step,
+    save_checkpoint,
+)
+
+
+def tiny_model():
+    cfg = DiffusionConfig(
+        atom_nf=10,
+        rec_nf=10,
+        n_timesteps=50,
+        precision=1e-5,
+        rec_encoder_type="fixed",
+        dynamics=dict(n_layers=1, hidden_nf=16, use_tanh=True, message_norm=1, norm=True, kl_k=3),
+    )
+    return KeypointDiffusion(cfg)
+
+
+# ------------------------------------------------------------- scheduler
+
+def test_warmup_lr():
+    cfg = SchedulerConfig(base_lr=1e-4, warmup_length=1.0)
+    assert float(learning_rate(cfg, 0.5)) == pytest.approx(5e-5)
+    assert float(learning_rate(cfg, 1.0)) == pytest.approx(1e-4)
+    assert float(learning_rate(cfg, 3.0)) == pytest.approx(1e-4)
+
+
+def test_cosine_restarts():
+    cfg = SchedulerConfig(base_lr=1e-4, warmup_length=1.0, restart_interval=10.0, restart_type="cosine")
+    # at a restart boundary the LR snaps back to base (scheduler.py:82-84)
+    assert float(learning_rate(cfg, 1.0 + 1e-6)) == pytest.approx(1e-4, rel=1e-3)
+    # halfway through an interval, cosine gives base/2
+    assert float(learning_rate(cfg, 6.0)) == pytest.approx(5e-5, rel=1e-3)
+
+
+def test_linear_restarts():
+    cfg = SchedulerConfig(base_lr=1e-4, warmup_length=0.0, restart_interval=4.0, restart_type="linear")
+    assert float(learning_rate(cfg, 1.0)) == pytest.approx(1e-4 * 0.75, rel=1e-4)
+
+
+def test_rec_enc_weight_sigmoid():
+    cfg = SchedulerConfig(rec_enc_loss_weight=0.1, rec_enc_weight_decay_midpoint=10.0, rec_enc_weight_decay_scale=0.25)
+    # matches the reference formula (scheduler.py:65-74)
+    for e in [0.0, 5.0, 10.0, 20.0]:
+        coeff = 1 - 1 / (1 + np.exp(-(e - 10.0) * 0.25))
+        assert float(rec_encoder_weight(cfg, e)) == pytest.approx(0.1 * coeff, rel=1e-5)
+    cfg0 = SchedulerConfig(rec_enc_loss_weight=0.1, rec_enc_weight_decay_midpoint=0)
+    assert float(rec_encoder_weight(cfg0, 7.0)) == pytest.approx(0.1)
+
+
+# ------------------------------------------------------------- training
+
+def test_smoke_train_loss_decreases():
+    model = tiny_model()
+    ds = synthetic_dataset(16, seed=0, rec_range=(16, 32), lig_range=(6, 12))
+    pad = PaddingConfig(n_rec=32, n_lig=12, n_kp=32, n_ip=8)
+    loader = PaddedLoader(ds, pad, batch_size=8, n_kp=32, kp_feat_dim=10, seed=0)
+
+    tcfg = TrainConfig(learning_rate=1e-3, batch_size=8, scheduler=SchedulerConfig(base_lr=1e-3))
+    opt = make_optimizer(tcfg)
+    batch0 = next(iter(loader.epoch()))
+    state = init_train_state(model, opt, jax.random.key(0), batch0)
+    step = make_train_step(model, tcfg, opt, iters_per_epoch=2)
+
+    losses = []
+    rng = jax.random.key(1)
+    for epoch in range(8):
+        for batch in loader.epoch():
+            rng, k = jax.random.split(rng)
+            state, metrics = step(state, k, batch)
+            losses.append(float(metrics["l2"]))
+    assert np.mean(losses[:4]) > np.mean(losses[-4:]), losses
+    assert all(np.isfinite(losses))
+
+
+def test_data_parallel_matches_single_device():
+    assert jax.device_count() >= 8, "conftest must provide 8 virtual devices"
+    model = tiny_model()
+    cpx = synthetic_batch(11, batch=8, n_rec_pad=24, n_lig_pad=10, n_kp=24, kp_feat_dim=10)
+    tcfg = TrainConfig(learning_rate=1e-3, scheduler=SchedulerConfig(base_lr=1e-3))
+    opt = make_optimizer(tcfg)
+    state = init_train_state(model, opt, jax.random.key(2), cpx)
+
+    step_single = make_train_step(model, tcfg, opt, iters_per_epoch=10)
+    s1, m1 = step_single(state, jax.random.key(3), cpx)
+
+    mesh = make_mesh(8)
+    step_dp = make_train_step(model, tcfg, opt, iters_per_epoch=10, mesh=mesh)
+    state2 = init_train_state(model, opt, jax.random.key(2), cpx)
+    cpx_sharded = shard_batch_pytree(cpx, mesh)
+    s2, m2 = step_dp(state2, jax.random.key(3), cpx_sharded)
+
+    np.testing.assert_allclose(float(m1["l2"]), float(m2["l2"]), rtol=1e-5)
+    l1 = jax.tree_util.tree_leaves(s1.params)
+    l2 = jax.tree_util.tree_leaves(s2.params)
+    for a, b in zip(l1, l2):
+        # cross-device psum reduction order differs from a single-device sum
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    model = tiny_model()
+    cpx = synthetic_batch(12, batch=2, n_rec_pad=16, n_lig_pad=8, n_kp=16, kp_feat_dim=10)
+    tcfg = TrainConfig()
+    opt = make_optimizer(tcfg)
+    state = init_train_state(model, opt, jax.random.key(4), cpx)
+    state = state.replace(step=jnp.asarray(7, jnp.int32))
+    save_checkpoint(tmp_path / "ck", state)
+    restored = load_checkpoint(tmp_path / "ck", state)
+    assert int(restored.step) == 7
+    for a, b in zip(jax.tree_util.tree_leaves(state.params), jax.tree_util.tree_leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
