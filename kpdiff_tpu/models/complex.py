@@ -175,6 +175,8 @@ def synthetic_batch(
     min_lig: int = 8,
 ) -> PaddedComplex:
     rng = np.random.default_rng(seed)
+    min_rec = min(min_rec, n_rec_pad)
+    min_lig = min(min_lig, n_lig_pad)
     items = []
     for _ in range(batch):
         n_rec = int(rng.integers(min_rec, n_rec_pad + 1))
