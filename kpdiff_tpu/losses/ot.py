@@ -1,0 +1,118 @@
+"""Optimal-transport receptor-encoder loss.
+
+Reference semantics (losses/rec_encoder_loss.py:11-82): per graph, cost =
+cdist(keypoints, targets)^2 with uniform marginals; the transport plan is
+solved EXACTLY (POT ot.emd on CPU) and treated as a constant; the loss is
+sum(plan * cost), averaged over the batch. Targets are either all pocket
+atoms or precomputed interface points.
+
+Two solvers:
+  * 'sinkhorn' (default for training): entropy-regularized log-domain
+    Sinkhorn fully on device — batched, jit/grad-friendly, no host sync.
+    The plan is stop_gradient'ed exactly like the reference detaches the
+    EMD plan, so the only asymptotic difference is the plan itself
+    (entropic vs exact vertex); with the default eps the loss gap is small
+    and tested against the exact solver.
+  * 'exact': jax.pure_callback into a host network-simplex solver (first-
+    party C++ via ctypes, scipy linprog fallback) — bit-parity with POT.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_NEG = -1e30
+
+
+def _pair_cost(kp_x: jnp.ndarray, pts: jnp.ndarray) -> jnp.ndarray:
+    """Squared euclidean cost (B, K, P)."""
+    diff = kp_x[:, :, None, :] - pts[:, None, :, :]
+    return jnp.sum(jnp.square(diff), axis=-1)
+
+
+def sinkhorn_plan(
+    cost: jnp.ndarray,  # (B, K, P)
+    col_mask: jnp.ndarray,  # (B, P) bool; rows (keypoints) assumed all valid
+    row_mask: jnp.ndarray = None,  # (B, K) bool
+    eps: float = 0.05,
+    iters: int = 100,
+) -> jnp.ndarray:
+    """Log-domain Sinkhorn with uniform marginals over valid rows/cols."""
+    b, k, p = cost.shape
+    if row_mask is None:
+        row_mask = jnp.ones((b, k), bool)
+    n_rows = jnp.maximum(jnp.sum(row_mask, axis=1), 1)
+    n_cols = jnp.maximum(jnp.sum(col_mask, axis=1), 1)
+    log_a = jnp.where(row_mask, -jnp.log(n_rows)[:, None], _NEG)  # (B,K)
+    log_b = jnp.where(col_mask, -jnp.log(n_cols)[:, None], _NEG)  # (B,P)
+
+    # scale cost per graph for a uniform effective regularization
+    scale = jnp.maximum(jnp.max(jnp.where(col_mask[:, None, :] & row_mask[:, :, None], cost, 0.0), axis=(1, 2)), 1e-8)
+    logK = -cost / (eps * scale[:, None, None])
+    logK = jnp.where(col_mask[:, None, :] & row_mask[:, :, None], logK, _NEG)
+
+    def body(i, fg):
+        f, g = fg
+        f = log_a - jax.nn.logsumexp(logK + g[:, None, :], axis=2)
+        f = jnp.where(row_mask, f, _NEG)
+        g = log_b - jax.nn.logsumexp(logK + f[:, :, None], axis=1)
+        g = jnp.where(col_mask, g, _NEG)
+        return (f, g)
+
+    f0 = jnp.zeros((b, k))
+    g0 = jnp.zeros((b, p))
+    f, g = jax.lax.fori_loop(0, iters, body, (f0, g0))
+    log_plan = logK + f[:, :, None] + g[:, None, :]
+    return jnp.exp(jnp.maximum(log_plan, _NEG))
+
+
+def _host_exact_plans(cost: np.ndarray, col_mask: np.ndarray, row_mask: np.ndarray) -> np.ndarray:
+    """Exact transportation plans on host, batched over graphs."""
+    from kpdiff_tpu.native.emd import exact_emd_plan
+
+    b, k, p = cost.shape
+    out = np.zeros((b, k, p), np.float32)
+    for i in range(b):
+        rm = row_mask[i]
+        cm = col_mask[i]
+        nr, nc = int(rm.sum()), int(cm.sum())
+        if nr == 0 or nc == 0:
+            continue
+        sub = cost[i][np.ix_(rm, cm)].astype(np.float64)
+        plan = exact_emd_plan(sub)
+        full = np.zeros((k, p), np.float32)
+        full[np.ix_(rm, cm)] = plan
+        out[i] = full
+    return out
+
+
+def exact_plan(cost: jnp.ndarray, col_mask: jnp.ndarray, row_mask: jnp.ndarray) -> jnp.ndarray:
+    shape = jax.ShapeDtypeStruct(cost.shape, jnp.float32)
+    return jax.pure_callback(
+        _host_exact_plans, shape, cost, col_mask, row_mask, vmap_method="sequential"
+    )
+
+
+def ot_loss(
+    kp_x: jnp.ndarray,  # (B, K, 3)
+    kp_mask: jnp.ndarray,  # (B, K)
+    pts: jnp.ndarray,  # (B, P, 3)
+    pts_mask: jnp.ndarray,  # (B, P)
+    method: str = "sinkhorn",
+    sinkhorn_eps: float = 0.05,
+    sinkhorn_iters: int = 100,
+) -> jnp.ndarray:
+    """Batched OT loss, mean over graphs (rec_encoder_loss.py:49-82)."""
+    cost = _pair_cost(kp_x, pts)
+    if method == "sinkhorn":
+        plan = sinkhorn_plan(cost, pts_mask, kp_mask, eps=sinkhorn_eps, iters=sinkhorn_iters)
+    elif method == "exact":
+        plan = exact_plan(cost, pts_mask, kp_mask)
+    else:
+        raise ValueError(method)
+    plan = jax.lax.stop_gradient(plan)  # reference detaches the plan (rec_encoder_loss.py:12-17)
+    per_graph = jnp.sum(plan * cost, axis=(1, 2))
+    return jnp.mean(per_graph)
