@@ -1,0 +1,233 @@
+"""GVP noise-prediction dynamics — TPU re-design of the reference
+LigRecDynamicsGVP / LigRecGVP / GVPMultiEdgeConv stack
+(models/dynamics_gvp.py:10-256, models/gvp.py:343-550).
+
+Differences from the EGNN dynamics worth noting:
+  * the timestep is appended BEFORE the scalar encoders (dynamics_gvp.py:
+    124-134,160-169), and positions never move — noise vectors come from a
+    dedicated NoisePredictionBlock (dynamics_gvp.py:10-44);
+  * with update_kp=True, the LAST conv layer drops the lk/kk edge types
+    (dynamics_gvp.py:67-74);
+  * message_norm semantics (gvp.py:374-389,501-517): 'mean' -> mean
+    aggregation (norm value 1), 0 -> per-graph average in-degree + 1,
+    const -> sum aggregation divided by const.
+"""
+from __future__ import annotations
+
+from typing import Dict, Tuple, Union
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from kpdiff_tpu.models.gvp import (
+    GVP,
+    GVPChain,
+    GVPEdgeMessagesDense,
+    GVPLayerNorm,
+    _update_specs,
+    gvp_dropout,
+)
+from kpdiff_tpu.models.nn import TorchLinear
+from kpdiff_tpu.ops.neighbors import dense_knn_adjacency, dense_radius_adjacency
+
+
+class GVPMultiEdgeConvDense(nn.Module):
+    """One conv over multiple edge types with per-dst-ntype updates
+    (gvp.py:343-550). Dense pair-grid edges."""
+
+    etypes: Tuple[Tuple[str, str, str], ...]
+    scalar_size: int
+    vector_size: int
+    n_message_gvps: int = 3
+    n_update_gvps: int = 2
+    message_norm: Union[float, str] = 10
+    dropout: float = 0.0
+    rbf_dmax: float = 15.0
+    rbf_dim: int = 16
+
+    @nn.compact
+    def __call__(self, node_data, adj, masks, deterministic: bool = True):
+        # node_data: ntype -> (scalars, pos, vectors); adj: 'll','kl','lk','kk'
+        dst_ntypes = sorted({e[2] for e in self.etypes})
+        agg = "mean" if self.message_norm == "mean" else "sum"
+
+        agg_s = {n: 0.0 for n in dst_ntypes}
+        agg_v = {n: 0.0 for n in dst_ntypes}
+        for etype in self.etypes:
+            src, ename, dst = etype
+            h_s, x_s, v_s = node_data[src]
+            h_d, x_d, v_d = node_data[dst]
+            ds, dv = GVPEdgeMessagesDense(
+                scalar_size=self.scalar_size,
+                vector_size=self.vector_size,
+                n_message_gvps=self.n_message_gvps,
+                rbf_dmax=self.rbf_dmax,
+                rbf_dim=self.rbf_dim,
+                agg=agg,
+                name=f"message_{ename}",
+            )(h_s, v_s, x_s, h_d, v_d, x_d, adj[ename])
+            agg_s[dst] = agg_s[dst] + ds
+            agg_v[dst] = agg_v[dst] + dv
+
+        out = dict(node_data)
+        for ntype in dst_ntypes:
+            h, x, v = node_data[ntype]
+            if self.message_norm == "mean":
+                norm = 1.0
+            elif self.message_norm == 0:
+                n_nodes = jnp.maximum(jnp.sum(masks[ntype], axis=1), 1).astype(jnp.float32)
+                n_edges = 0.0
+                for etype in self.etypes:
+                    if etype[2] == ntype:
+                        n_edges = n_edges + jnp.sum(adj[etype[1]], axis=(1, 2)).astype(jnp.float32)
+                norm = (n_edges / n_nodes + 1.0)[:, None, None]
+            else:
+                norm = float(self.message_norm)
+
+            s_msg = agg_s[ntype] / norm
+            v_msg = agg_v[ntype] / (norm if isinstance(norm, float) else norm[..., None])
+
+            if self.dropout > 0 and not deterministic:
+                key = self.make_rng("dropout")
+                s_msg, v_msg = gvp_dropout(key, s_msg, v_msg, self.dropout, deterministic)
+
+            h = h + s_msg
+            v = v + v_msg
+            h, v = GVPLayerNorm(name=f"msg_norm_{ntype}")(h, v)
+
+            s_res, v_res = GVPChain(
+                _update_specs(self.scalar_size, self.vector_size, self.n_update_gvps),
+                name=f"update_{ntype}",
+            )((h, v))
+            if self.dropout > 0 and not deterministic:
+                key = self.make_rng("dropout")
+                s_res, v_res = gvp_dropout(key, s_res, v_res, self.dropout, deterministic)
+            h = h + s_res
+            v = v + v_res
+            h, v = GVPLayerNorm(name=f"upd_norm_{ntype}")(h, v)
+
+            m = masks[ntype][..., None].astype(h.dtype)
+            out[ntype] = (h * m, x, v * m[..., None])
+        return out
+
+
+class NoisePredictionBlock(nn.Module):
+    """GVP chain -> (scalar noise, single vector noise) (dynamics_gvp.py:10-44)."""
+
+    in_scalar_dim: int
+    out_scalar_dim: int
+    vector_size: int
+    n_gvps: int = 3
+    intermediate_scalar_dim: int = 64
+
+    @nn.compact
+    def __call__(self, scalars, vectors):
+        data = (scalars, vectors)
+        for i in range(self.n_gvps):
+            last = i == self.n_gvps - 1
+            data = GVP(
+                dim_vectors_in=self.vector_size,
+                dim_vectors_out=1 if last else self.vector_size,
+                dim_feats_in=self.in_scalar_dim,
+                dim_feats_out=self.intermediate_scalar_dim if last else self.in_scalar_dim,
+                vectors_activation="identity" if last else "sigmoid",
+                name=f"gvp{i}",
+            )(data)
+        s, v = data
+        s = TorchLinear(self.out_scalar_dim, name="to_scalar_output")(s)
+        return s, v[..., 0, :]  # squeeze the single vector channel
+
+
+class GVPDynamics(nn.Module):
+    """LigRecDynamicsGVP equivalent (dynamics_gvp.py:104-256)."""
+
+    n_lig_scalars: int
+    n_kp_scalars: int
+    vector_size: int = 16
+    n_convs: int = 4
+    n_hidden_scalars: int = 128
+    message_norm: Union[float, str] = 1
+    update_kp: bool = False
+    ll_k: int = 0
+    kl_k: int = 0
+    ll_cutoff: float = 9.0
+    kl_cutoff: float = 8.0
+    n_message_gvps: int = 3
+    n_update_gvps: int = 2
+    n_noise_gvps: int = 3
+    dropout: float = 0.0
+
+    NO_KP_EDGES = (("lig", "ll", "lig"), ("kp", "kl", "lig"))
+    KP_EDGES = NO_KP_EDGES + (("lig", "lk", "kp"), ("kp", "kk", "kp"))
+
+    @nn.compact
+    def __call__(
+        self,
+        lig_x, lig_h, lig_mask, kp_x, kp_h, kp_mask, t, kk_edges, kp_v=None,
+        deterministic: bool = True,
+    ):
+        b, nl = lig_mask.shape
+        k = kp_mask.shape[1]
+        H = self.n_hidden_scalars
+
+        # append t, then encode scalars (dynamics_gvp.py:156-169)
+        t_lig = jnp.broadcast_to(t[:, None, None], (b, nl, 1)).astype(lig_h.dtype)
+        t_kp = jnp.broadcast_to(t[:, None, None], (b, k, 1)).astype(kp_h.dtype)
+        lig_s = jnp.concatenate([lig_h, t_lig], axis=-1)
+        kp_s = jnp.concatenate([kp_h, t_kp], axis=-1)
+
+        lig_s = nn.LayerNorm(epsilon=1e-5)(nn.silu(TorchLinear(H, name="lig_enc")(lig_s)))
+        kp_s = nn.LayerNorm(epsilon=1e-5)(nn.silu(TorchLinear(H, name="kp_enc")(kp_s)))
+        lig_s = lig_s * lig_mask[..., None]
+        kp_s = kp_s * kp_mask[..., None]
+
+        lig_v = jnp.zeros((b, nl, self.vector_size, 3), lig_s.dtype)
+        if kp_v is None:
+            kp_v = jnp.zeros((b, k, self.vector_size, 3), kp_s.dtype)
+
+        # ligand edges rebuilt from current positions (dynamics_gvp.py:201-234)
+        if self.ll_k > 0:
+            ll = dense_knn_adjacency(lig_x, lig_mask, lig_x, lig_mask, self.ll_k, per="dst", exclude_self=True)
+        else:
+            ll = dense_radius_adjacency(lig_x, lig_mask, lig_x, lig_mask, self.ll_cutoff, exclude_self=True)
+        if self.kl_k > 0:
+            kl = dense_knn_adjacency(kp_x, kp_mask, lig_x, lig_mask, self.kl_k, per="src")
+        else:
+            kl = dense_radius_adjacency(kp_x, kp_mask, lig_x, lig_mask, self.kl_cutoff)
+        adj = {"ll": ll, "kl": kl}
+        if self.update_kp:
+            adj["lk"] = jnp.swapaxes(kl, 1, 2)
+            if kk_edges is None:
+                raise ValueError("kk_edges required when update_kp=True")
+            adj["kk"] = kk_edges
+
+        node_data = {"lig": (lig_s, lig_x, lig_v), "kp": (kp_s, kp_x, kp_v)}
+        masks = {"lig": lig_mask, "kp": kp_mask}
+
+        for i in range(self.n_convs):
+            if not self.update_kp or i == self.n_convs - 1:
+                etypes = self.NO_KP_EDGES  # last layer drops kp updates (dynamics_gvp.py:69-74)
+            else:
+                etypes = self.KP_EDGES
+            node_data = GVPMultiEdgeConvDense(
+                etypes=etypes,
+                scalar_size=H,
+                vector_size=self.vector_size,
+                n_message_gvps=self.n_message_gvps,
+                n_update_gvps=self.n_update_gvps,
+                message_norm=self.message_norm,
+                dropout=self.dropout,
+                name=f"conv{i}",
+            )(node_data, adj, masks, deterministic=deterministic)
+
+        lig_s, _, lig_v = node_data["lig"]
+        eps_h, eps_x = NoisePredictionBlock(
+            in_scalar_dim=H,
+            out_scalar_dim=self.n_lig_scalars,
+            vector_size=self.vector_size,
+            n_gvps=self.n_noise_gvps,
+            name="noise_predictor",
+        )(lig_s, lig_v)
+
+        m = lig_mask[..., None]
+        return eps_h * m, eps_x * m

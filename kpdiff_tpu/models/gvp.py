@@ -1,0 +1,249 @@
+"""Geometric Vector Perceptron primitives and graph convolutions.
+
+TPU re-design of the reference GVP library (models/gvp.py:43-550, itself
+derived from lucidrains' geometric-vector-perceptron). All modules operate
+on arbitrary leading dims: scalars (..., S) and vectors (..., V, 3), so the
+same code runs per-node and per-dense-edge-pair.
+
+Faithfulness notes:
+  * Wh/Wu init U(-1/sqrt(fan_in), +) (gvp.py:63-69).
+  * vector gating always on in the reference usage; gate = sigmoid (or
+    identity in the final noise-prediction GVP).
+  * GVPLayerNorm: torch LayerNorm on scalars; vectors divided by
+    sqrt(mean_channel(||v||^2) + eps) + eps (gvp.py:152-166).
+  * _VDropout drops whole vector channels (gvp.py:118-139).
+  * message scalar inputs are [h_src, rbf(d)] (+ edge feats, + h_dst when
+    use_dst_feats); vector inputs are [x_diff_unit, v_src (, v_dst)]
+    (gvp.py:320-341,540-550).
+  * x_diff normalized by clamped-norm + 1e-8 (gvp.py:286-288) — different
+    from the EGNN's (d+1) normalization.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from kpdiff_tpu.models.nn import TorchLinear
+from kpdiff_tpu.ops.geometry import norm_no_nan, rbf_embed
+
+
+class GVP(nn.Module):
+    """One geometric vector perceptron (gvp.py:43-116)."""
+
+    dim_vectors_in: int
+    dim_vectors_out: int
+    dim_feats_in: int
+    dim_feats_out: int
+    hidden_vectors: Optional[int] = None
+    feats_activation: str = "silu"
+    vectors_activation: str = "sigmoid"  # 'sigmoid' | 'identity'
+    vector_gating: bool = True
+
+    @nn.compact
+    def __call__(self, data: Tuple[jnp.ndarray, jnp.ndarray]):
+        feats, vectors = data
+        v_in = self.dim_vectors_in
+        dim_h = self.hidden_vectors or max(v_in, self.dim_vectors_out)
+
+        def uinit(bound):
+            def init(key, shape, dtype=jnp.float32):
+                return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+            return init
+
+        Wh = self.param("Wh", uinit(1.0 / (v_in**0.5)), (v_in, dim_h))
+        Wu = self.param("Wu", uinit(1.0 / (dim_h**0.5)), (dim_h, self.dim_vectors_out))
+
+        Vh = jnp.einsum("...vc,vh->...hc", vectors, Wh)
+        Vu = jnp.einsum("...hc,hu->...uc", Vh, Wu)
+        sh = norm_no_nan(Vh, axis=-1)  # (..., dim_h)
+
+        s = jnp.concatenate([feats, sh], axis=-1)
+        feats_out = TorchLinear(self.dim_feats_out, name="to_feats_out")(s)
+        if self.feats_activation == "silu":
+            feats_out = nn.silu(feats_out)
+        elif self.feats_activation != "identity":
+            raise ValueError(self.feats_activation)
+
+        if self.vector_gating:
+            gating = TorchLinear(self.dim_vectors_out, name="scalar_to_vector_gates")(feats_out)
+            gating = gating[..., None]
+        else:
+            gating = norm_no_nan(Vu, axis=-1, keepdims=True)
+
+        if self.vectors_activation == "sigmoid":
+            gate = nn.sigmoid(gating)
+        elif self.vectors_activation == "identity":
+            gate = gating
+        else:
+            raise ValueError(self.vectors_activation)
+        vectors_out = gate * Vu
+        return feats_out, vectors_out
+
+
+class GVPChain(nn.Module):
+    """nn.Sequential of GVPs (message / update functions chain them)."""
+
+    specs: Sequence[dict]
+
+    @nn.compact
+    def __call__(self, data):
+        for i, spec in enumerate(self.specs):
+            data = GVP(**spec, name=f"gvp{i}")(data)
+        return data
+
+
+class GVPLayerNorm(nn.Module):
+    """Scalar LayerNorm + nontrainable vector norm (gvp.py:152-166)."""
+
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, feats, vectors):
+        normed_feats = nn.LayerNorm(epsilon=self.eps)(feats)
+        vn = norm_no_nan(vectors, axis=-1, keepdims=True, sqrt=False)  # (..., V, 1)
+        vn = jnp.sqrt(jnp.mean(vn, axis=-2, keepdims=True) + self.eps) + self.eps
+        return normed_feats, vectors / vn
+
+
+def gvp_dropout(key, feats, vectors, rate: float, deterministic: bool):
+    """Scalar dropout + vector-channel-coherent dropout (gvp.py:118-149)."""
+    if deterministic or rate == 0.0:
+        return feats, vectors
+    k1, k2 = jax.random.split(key)
+    keep = 1.0 - rate
+    feats = feats * jax.random.bernoulli(k1, keep, feats.shape) / keep
+    vmask = jax.random.bernoulli(k2, keep, vectors.shape[:-1])[..., None]
+    vectors = vectors * vmask / keep
+    return feats, vectors
+
+
+def _message_specs(scalar_size, vector_size, n_gvps, extra_scalars, extra_vectors):
+    """GVP chain dims for an edge message fn (gvp.py:198-224,393-415)."""
+    specs = []
+    for i in range(n_gvps):
+        dv_in = vector_size + (extra_vectors if i == 0 else 0)
+        df_in = scalar_size + (extra_scalars if i == 0 else 0)
+        specs.append(dict(
+            dim_vectors_in=dv_in, dim_vectors_out=vector_size,
+            dim_feats_in=df_in, dim_feats_out=scalar_size,
+        ))
+    return specs
+
+
+def _update_specs(scalar_size, vector_size, n_gvps):
+    return [
+        dict(dim_vectors_in=vector_size, dim_vectors_out=vector_size,
+             dim_feats_in=scalar_size, dim_feats_out=scalar_size)
+        for _ in range(n_gvps)
+    ]
+
+
+class GVPEdgeMessagesDense(nn.Module):
+    """GVP edge messages over a dense (B, Ns, Nd) pair grid, aggregated to
+    destinations. agg='sum' or 'mean' over VALID incoming edges."""
+
+    scalar_size: int
+    vector_size: int
+    n_message_gvps: int = 3
+    rbf_dmax: float = 15.0
+    rbf_dim: int = 16
+    use_dst_feats: bool = False
+    edge_feat_size: int = 0
+    agg: str = "sum"
+
+    @nn.compact
+    def __call__(self, h_src, v_src, x_src, h_dst, v_dst, x_dst, adj, edge_feat=None):
+        # pair geometry (gvp.py:281-288)
+        diff = x_src[:, :, None, :] - x_dst[:, None, :, :]  # (B,Ns,Nd,3)
+        diff = jnp.where(adj[..., None], diff, 0.0)
+        dij = norm_no_nan(diff, axis=-1, keepdims=True) + 1e-8
+        x_unit = diff / dij
+        rbf = rbf_embed(dij[..., 0], 0.0, self.rbf_dmax, self.rbf_dim)
+
+        ns, nd = adj.shape[1], adj.shape[2]
+        vec_in = [x_unit[:, :, :, None, :], jnp.broadcast_to(v_src[:, :, None], (v_src.shape[0], ns, nd, *v_src.shape[2:]))]
+        scl_in = [jnp.broadcast_to(h_src[:, :, None], (h_src.shape[0], ns, nd, h_src.shape[-1])), rbf]
+        if self.edge_feat_size > 0:
+            scl_in.append(edge_feat)
+        if self.use_dst_feats:
+            vec_in.append(jnp.broadcast_to(v_dst[:, None], (v_dst.shape[0], ns, nd, *v_dst.shape[2:])))
+            scl_in.append(jnp.broadcast_to(h_dst[:, None], (h_dst.shape[0], ns, nd, h_dst.shape[-1])))
+
+        vectors = jnp.concatenate(vec_in, axis=-2)
+        scalars = jnp.concatenate(scl_in, axis=-1)
+
+        extra_v = 1 + (self.vector_size if self.use_dst_feats else 0)
+        extra_s = self.rbf_dim + self.edge_feat_size + (self.scalar_size if self.use_dst_feats else 0)
+        msg_s, msg_v = GVPChain(
+            _message_specs(self.scalar_size, self.vector_size, self.n_message_gvps, extra_s, extra_v),
+            name="message",
+        )((scalars, vectors))
+
+        adj_f = adj.astype(msg_s.dtype)
+        agg_s = jnp.einsum("bsd,bsdf->bdf", adj_f, msg_s)
+        agg_v = jnp.einsum("bsd,bsdvc->bdvc", adj_f, msg_v)
+        if self.agg == "mean":
+            cnt = jnp.maximum(jnp.sum(adj_f, axis=1), 1.0)  # (B, Nd)
+            agg_s = agg_s / cnt[..., None]
+            agg_v = agg_v / cnt[..., None, None]
+        return agg_s, agg_v
+
+
+class GVPEdgeMessagesNbr(nn.Module):
+    """GVP edge messages over a destination-major neighbor list
+    (B, Nd, K) of source indices — for pocket-scale edge sets (rr, rk)
+    where a dense pair grid would waste HBM. Aggregation = masked sum or
+    mean over the K axis (no scatter)."""
+
+    scalar_size: int
+    vector_size: int
+    n_message_gvps: int = 3
+    rbf_dmax: float = 15.0
+    rbf_dim: int = 16
+    use_dst_feats: bool = False
+    edge_feat_size: int = 0
+    agg: str = "sum"
+
+    @nn.compact
+    def __call__(self, h_src, v_src, x_src, h_dst, v_dst, x_dst, nbr_idx, nbr_valid, edge_feat=None):
+        b, nd, kn = nbr_idx.shape
+        h_nbr = jnp.take_along_axis(h_src[:, :, None, :], nbr_idx[..., None], axis=1)  # (B,Nd,K,S)
+        x_nbr = jnp.take_along_axis(x_src[:, :, None, :], nbr_idx[..., None], axis=1)  # (B,Nd,K,3)
+        v_nbr = jnp.take_along_axis(v_src[:, :, None, :, :], nbr_idx[..., None, None], axis=1)  # (B,Nd,K,V,3)
+
+        diff = x_nbr - x_dst[:, :, None, :]
+        diff = jnp.where(nbr_valid[..., None], diff, 0.0)
+        dij = norm_no_nan(diff, axis=-1, keepdims=True) + 1e-8
+        x_unit = diff / dij
+        rbf = rbf_embed(dij[..., 0], 0.0, self.rbf_dmax, self.rbf_dim)
+
+        vec_in = [x_unit[:, :, :, None, :], v_nbr]
+        scl_in = [h_nbr, rbf]
+        if self.edge_feat_size > 0:
+            scl_in.append(edge_feat)
+        if self.use_dst_feats:
+            vec_in.append(jnp.broadcast_to(v_dst[:, :, None], (b, nd, kn, *v_dst.shape[2:])))
+            scl_in.append(jnp.broadcast_to(h_dst[:, :, None], (b, nd, kn, h_dst.shape[-1])))
+
+        vectors = jnp.concatenate(vec_in, axis=-2)
+        scalars = jnp.concatenate(scl_in, axis=-1)
+
+        extra_v = 1 + (self.vector_size if self.use_dst_feats else 0)
+        extra_s = self.rbf_dim + self.edge_feat_size + (self.scalar_size if self.use_dst_feats else 0)
+        msg_s, msg_v = GVPChain(
+            _message_specs(self.scalar_size, self.vector_size, self.n_message_gvps, extra_s, extra_v),
+            name="message",
+        )((scalars, vectors))
+
+        vf = nbr_valid[..., None].astype(msg_s.dtype)
+        agg_s = jnp.sum(msg_s * vf, axis=2)
+        agg_v = jnp.sum(msg_v * vf[..., None], axis=2)
+        if self.agg == "mean":
+            cnt = jnp.maximum(jnp.sum(vf, axis=2), 1.0)  # (B,Nd,1)
+            agg_s = agg_s / cnt
+            agg_v = agg_v / cnt[..., None]
+        return agg_s, agg_v
