@@ -1,0 +1,202 @@
+"""Evaluation sampler CLI — reference test.py + sample.py equivalent.
+
+Per test pocket: encode the receptor once, batch-replicate, run the jitted
+reverse-diffusion scan, build molecules on host, retry until
+samples_per_pocket valid molecules (reference test.py:147-213), and write
+the reference's exact output layout (readme.md:98, test.py:218-285):
+
+    output_dir/pocket_{i}/
+        raw_ligands.sdf      # sampled molecules
+        pocket.pdb           # pocket written from the processed arrays
+        keypoints.xyz        # keypoint positions (learned encoders)
+        sample_time.txt      # wall-clock seconds for this pocket
+        sample_time.pkl
+        trajectories/        # with --visualize: one SDF per sample
+
+Usage:
+    python -m kpdiff_tpu.cli.sample --model_dir runs/<run>/ --out sampled_mols/
+    python -m kpdiff_tpu.cli.sample --model_dir ... --synthetic 4   # no dataset
+"""
+from __future__ import annotations
+
+import argparse
+import pickle
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--model_dir", type=str, required=True)
+    p.add_argument("--checkpoint_step", type=int, default=None)
+    p.add_argument("--out", type=str, default="sampled_mols_out")
+    p.add_argument("--split", type=str, default="test")
+    p.add_argument("--dataset_idx", type=int, default=None)
+    p.add_argument("--dataset_size", type=int, default=None)
+    p.add_argument("--synthetic", type=int, default=0)
+    p.add_argument("--samples_per_pocket", type=int, default=100)
+    p.add_argument("--max_batch_size", type=int, default=128)
+    p.add_argument("--max_tries", type=int, default=3)
+    p.add_argument("--avg_validity", type=float, default=0.85)
+    p.add_argument("--use_ref_lig_com", action="store_true")
+    p.add_argument("--visualize", action="store_true")
+    p.add_argument("--frames_every", type=int, default=50)
+    p.add_argument("--seed", type=int, default=0)
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+
+    import jax
+
+    from kpdiff_tpu.config import PaddingConfig, load_config, model_from_config, resolve_feature_sizes
+    from kpdiff_tpu.data.dataset import ComplexDataset, pad_item, synthetic_dataset
+    from kpdiff_tpu.data.pdb import write_xyz
+    from kpdiff_tpu.data.sdf import write_sdf
+    from kpdiff_tpu.analysis.molecule_builder import build_molecule
+    from kpdiff_tpu.models.complex import make_complex
+
+    run_dir = Path(args.model_dir)
+    config = load_config(run_dir / "config.yml")
+    model = model_from_config(config)
+    pad = PaddingConfig.from_config(config)
+    n_rec_feat, n_lig_feat, _ = resolve_feature_sizes(config)
+    lig_elements = config["dataset"]["lig_elements"]
+
+    if args.synthetic:
+        ds = synthetic_dataset(args.synthetic, seed=args.seed + 100, n_rec_feat=n_rec_feat,
+                               n_lig_feat=len(lig_elements),
+                               rec_range=(min(24, pad.n_rec // 2), pad.n_rec),
+                               lig_range=(min(8, max(pad.n_lig // 2, 2)), pad.n_lig))
+    else:
+        ds = ComplexDataset.from_pickle(Path(config["dataset"]["location"]) / f"{args.split}.pkl")
+
+    # load params from the latest checkpoint
+    from kpdiff_tpu.training.trainer import TrainConfig, init_train_state, load_checkpoint, make_optimizer
+
+    kp_vec_dim = model.cfg.rec_encoder.get("vector_size", 16) if model.cfg.architecture == "gvp" else None
+    example_item = pad_item(ds.get(0), pad, n_lig_feat_out=n_lig_feat)
+    example = _to_complex([example_item], pad, model, kp_vec_dim)
+    opt = make_optimizer(TrainConfig())
+    state = init_train_state(model, opt, jax.random.key(0), example)
+    state = load_checkpoint(run_dir / "checkpoints", state, step=args.checkpoint_step)
+    params = state.params
+
+    out_root = Path(args.out)
+    out_root.mkdir(parents=True, exist_ok=True)
+
+    batch = args.max_batch_size
+
+    @jax.jit
+    def sample_batch(params, rng, cpx, init_com):
+        enc, kk = model.encode(params, cpx)
+        return model.sample(params, rng, enc, kk, init_com=init_com,
+                            return_every=args.frames_every if args.visualize else 0), enc
+
+    idxs = [args.dataset_idx] if args.dataset_idx is not None else range(
+        min(len(ds), args.dataset_size or len(ds))
+    )
+
+    rng = jax.random.key(args.seed)
+    for i in idxs:
+        t0 = time.time()
+        item = ds.get(int(i))
+        padded = pad_item(item, pad, n_lig_feat_out=n_lig_feat)
+        if padded is None:
+            print(f"pocket {i}: exceeds padding capacity, skipped", flush=True)
+            continue
+        items = [padded] * batch
+        cpx = _to_complex(items, pad, model, kp_vec_dim)
+
+        if args.use_ref_lig_com:
+            ref_com = item["lig_pos"].mean(0)
+            init_com = np.broadcast_to(ref_com, (batch, 3)).astype(np.float32)
+        else:
+            init_com = None
+
+        mols = []
+        n_tries = 0
+        kp_out = None
+        while len(mols) < args.samples_per_pocket and n_tries < args.max_tries:
+            n_tries += 1
+            rng, k = jax.random.split(rng)
+            out, enc = sample_batch(params, k, cpx, init_com)
+            lig_x = np.asarray(out["lig_x"])
+            lig_h = np.asarray(out["lig_h"])
+            lig_mask = np.asarray(out["lig_mask"])
+            kp_out = (np.asarray(enc.kp_x), np.asarray(enc.kp_mask))
+            for b in range(batch):
+                m = lig_mask[b]
+                if m.sum() == 0:
+                    continue
+                feats = lig_h[b][m][:, : len(lig_elements)]
+                elements = [lig_elements[j] for j in feats.argmax(1)]
+                mol = build_molecule(lig_x[b][m], elements, largest_frag=True, sanitize=True)
+                if mol is not None:
+                    mols.append(mol)
+                    if args.visualize and "frames_x" in out and len(mols) <= 10:
+                        _write_frames(out, b, m, lig_elements, out_root / f"pocket_{i}" / "trajectories", len(mols))
+                if len(mols) >= args.samples_per_pocket:
+                    break
+
+        dt = time.time() - t0
+        pdir = out_root / f"pocket_{i}"
+        pdir.mkdir(parents=True, exist_ok=True)
+        write_sdf([m.to_sdf_mol(title=f"pocket{i}_sample{j}") for j, m in enumerate(mols)], pdir / "raw_ligands.sdf")
+        _write_pocket_pdb(item, pdir / "pocket.pdb")
+        if kp_out is not None and model.cfg.rec_encoder_type == "learned":
+            kx, km = kp_out
+            write_xyz(kx[0][km[0]], ["C"] * int(km[0].sum()), pdir / "keypoints.xyz")
+        (pdir / "sample_time.txt").write_text(f"{dt}\n")
+        with open(pdir / "sample_time.pkl", "wb") as f:
+            pickle.dump({"time": dt, "n_valid": len(mols), "n_tries": n_tries, "batch": batch}, f)
+        print(
+            f"pocket {i}: {len(mols)}/{args.samples_per_pocket} valid in {n_tries} tries, "
+            f"{dt:.1f}s ({dt / max(len(mols), 1):.3f} s/mol)",
+            flush=True,
+        )
+
+
+def _to_complex(items, pad, model, kp_vec_dim):
+    from kpdiff_tpu.models.complex import make_complex
+
+    stacked = {k: np.stack([it[k] for it in items]) for k in items[0]}
+    return make_complex(
+        stacked["rec_x"], stacked["rec_h"], stacked["rec_mask"],
+        stacked["lig_x"], stacked["lig_h"], stacked["lig_mask"],
+        n_kp=pad.n_kp, kp_feat_dim=model.cfg.rec_nf, kp_vec_dim=kp_vec_dim,
+        rec_res_idx=stacked["rec_res_idx"], ip_x=stacked["ip_x"], ip_mask=stacked["ip_mask"],
+    )
+
+
+def _write_pocket_pdb(item, path):
+    """Write pocket atoms as a PDB from processed arrays (the original file
+    is unavailable at sampling time for pickle-only datasets)."""
+    with open(path, "w") as f:
+        for j, (x, y, z) in enumerate(item["rec_pos"]):
+            res = int(item["rec_res_idx"][j]) % 10000
+            f.write(
+                f"ATOM  {j + 1:5d}  X   UNK A{res:4d}    {x:8.3f}{y:8.3f}{z:8.3f}  1.00  0.00           C\n"
+            )
+        f.write("END\n")
+
+
+def _write_frames(out, b, mask, lig_elements, traj_dir, sample_idx):
+    from kpdiff_tpu.data.sdf import SdfMol, write_sdf
+
+    traj_dir.mkdir(parents=True, exist_ok=True)
+    fx = np.asarray(out["frames_x"])[:, b]
+    fh = np.asarray(out["frames_h"])[:, b]
+    mols = []
+    for t in range(fx.shape[0]):
+        feats = fh[t][mask][:, : len(lig_elements)]
+        elements = [lig_elements[j] for j in feats.argmax(1)]
+        mols.append(SdfMol(title=f"frame{t}", elements=elements, coords=fx[t][mask], bonds=[]))
+    write_sdf(mols, traj_dir / f"sample_{sample_idx}_traj.sdf")
+
+
+if __name__ == "__main__":
+    main()

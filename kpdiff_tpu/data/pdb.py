@@ -128,6 +128,28 @@ def write_pdb(atoms: PdbAtoms, path: str | Path, renumber: bool = False):
         f.write("END\n")
 
 
+def format_pdb_line(
+    serial: int,
+    name: str,
+    resname: str,
+    chain: str,
+    resseq: int,
+    x: float,
+    y: float,
+    z: float,
+    element: str,
+    hetero: bool = False,
+) -> str:
+    """One correctly-columned ATOM/HETATM record."""
+    rec = "HETATM" if hetero else "ATOM  "
+    # atom name convention: 1-letter elements start at column 14
+    nm = f" {name:<3s}" if len(name) < 4 and len(element) == 1 else f"{name:<4s}"
+    return (
+        f"{rec}{serial:5d} {nm}{' '}{resname:<3s} {chain}{resseq:4d}    "
+        f"{x:8.3f}{y:8.3f}{z:8.3f}  1.00  0.00          {element:>2s}"
+    )
+
+
 def write_xyz(coords: np.ndarray, elements: List[str], path: Optional[str | Path] = None) -> str:
     """xyz text (reference utils.write_xyz_file:11-21)."""
     out = f"{len(coords)}\n\n"

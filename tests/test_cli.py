@@ -1,0 +1,214 @@
+"""End-to-end CLI tests: train -> sample -> compute_metrics -> minimize,
+plus byop and the processing pipeline, all on tiny synthetic inputs."""
+import pickle
+from pathlib import Path
+
+import numpy as np
+import pytest
+import yaml
+
+TINY_CONFIG = {
+    "experiment": {"name": "tiny", "results_dir": None},  # filled per-test
+    "dataset": {
+        "location": "unused/",
+        "rec_elements": ["C", "N", "O", "S", "P", "F", "Cl", "Br", "I", "B"],
+        "lig_elements": ["C", "N", "O", "S", "P", "F", "Cl", "Br", "I", "B"],
+        "remove_hydrogen": True,
+        "max_fake_atom_frac": 0.0,
+        "interface_distance_threshold": 5,
+        "interface_exclusion_threshold": 2,
+    },
+    "padding": {"n_rec": 48, "n_lig": 16, "n_ip": 16},
+    "graph": {"n_keypoints": 6, "graph_cutoffs": {"rr": 3.5, "rk": 100, "kk": 8, "kl": 8, "ll": 5}},
+    "rec_encoder": {
+        "n_convs": 1, "hidden_n_node_feat": 16, "out_n_node_feat": 16, "use_tanh": True,
+        "message_norm": 1, "k_closest": 3, "kp_rad": 0.0, "fix_pos": False,
+        "use_sameres_feat": False, "norm": True, "n_kk_convs": 0,
+    },
+    "diffusion": {
+        "n_timesteps": 10, "precision": 1.0e-5, "lig_feat_norm_constant": 1,
+        "rl_dist_threshold": 0, "architecture": "egnn", "rec_encoder_type": "learned",
+    },
+    "dynamics": {
+        "n_layers": 1, "hidden_nf": 16, "use_tanh": True, "message_norm": 1,
+        "update_kp_feat": False, "norm": True, "ll_k": 0, "kl_k": 3,
+    },
+    "rec_encoder_loss": {"loss_type": "optimal_transport", "use_interface_points": True, "method": "sinkhorn"},
+    "training": {
+        "learning_rate": 1.0e-3, "weight_decay": 1.0e-12, "clip_grad": True, "clip_value": 1.5,
+        "epochs": 1, "batch_size": 4, "test_interval": 1, "train_metrics_interval": 0.1,
+        "save_interval": 1, "sample_interval": 100, "num_workers": 0,
+        "scheduler": {"warmup_length": 0.5, "rec_enc_weight_decay_midpoint": 0,
+                      "rec_enc_weight_decay_scale": 0.25, "restart_interval": 0, "restart_type": "cosine"},
+    },
+    "sampling_config": {"n_receptors": 1, "n_replicates": 4, "rec_enc_batch_size": 4, "diff_batch_size": 4},
+}
+
+
+@pytest.fixture(scope="module")
+def trained_run(tmp_path_factory):
+    """Train the tiny model for one epoch on synthetic data."""
+    from kpdiff_tpu.cli.train import main as train_main
+
+    root = tmp_path_factory.mktemp("runs")
+    cfg = dict(TINY_CONFIG)
+    cfg["experiment"] = {"name": "tiny", "results_dir": str(root)}
+    cfg_path = root / "tiny.yml"
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    run_dir, state = train_main(["--config", str(cfg_path), "--synthetic", "8", "--n_devices", "1"])
+    assert (run_dir / "checkpoints").exists()
+    assert (run_dir / "train_metrics.pkl").exists()
+    return run_dir
+
+
+def test_train_metrics_written(trained_run):
+    rows = pickle.load(open(trained_run / "train_metrics.pkl", "rb"))
+    assert len(rows) >= 1
+    assert "l2" in rows[0] and "lr" in rows[0]
+    test_rows = pickle.load(open(trained_run / "test_metrics.pkl", "rb"))
+    assert any("test_l2" in r for r in test_rows)
+
+
+def test_sample_cli_layout(trained_run, tmp_path):
+    from kpdiff_tpu.cli.sample import main as sample_main
+
+    out = tmp_path / "sampled_mols"
+    sample_main([
+        "--model_dir", str(trained_run), "--synthetic", "2", "--samples_per_pocket", "4",
+        "--max_batch_size", "4", "--max_tries", "2", "--out", str(out),
+        "--visualize", "--frames_every", "5",
+    ])
+    for i in range(2):
+        pdir = out / f"pocket_{i}"
+        assert (pdir / "raw_ligands.sdf").exists()
+        assert (pdir / "pocket.pdb").exists()
+        assert (pdir / "sample_time.txt").exists()
+        assert (pdir / "keypoints.xyz").exists()  # learned encoder
+    # offline metrics over the layout
+    from kpdiff_tpu.cli.compute_metrics import main as metrics_main
+
+    res = metrics_main(["--sampled_mols_dir", str(out)])
+    assert "validity" in res["overall"]
+    assert (out / "metrics.pkl").exists()
+
+    # pocket minimization over one pocket dir
+    from kpdiff_tpu.cli.pocket_minimization import main as min_main
+    from kpdiff_tpu.data.sdf import parse_sdf
+
+    if parse_sdf(out / "pocket_0" / "raw_ligands.sdf"):
+        min_main(["--pocket_dir", str(out / "pocket_0"), "--n_iters", "20"])
+        assert (out / "pocket_0" / "minimized.sdf").exists()
+        assert (out / "pocket_0" / "minimization_rmsd.csv").exists()
+
+
+def test_gen_commands(tmp_path, trained_run):
+    from kpdiff_tpu.cli.gen_commands import main as gen_main
+
+    out = tmp_path / "cmds.txt"
+    gen_main(["sample", "--model_dir", str(trained_run), "--n_pockets", "5", "--out", str(out)])
+    lines = out.read_text().strip().splitlines()
+    assert len(lines) == 5
+    assert "--dataset_idx 3" in lines[3]
+
+
+def _write_synthetic_complex_pdb_sdf(tmp_path):
+    """A fake protein with a ligand: residues of C/N/O atoms around a small ligand."""
+    from kpdiff_tpu.data.pdb import format_pdb_line
+
+    rng = np.random.default_rng(0)
+    lig_center = np.array([20.0, 20.0, 20.0])
+    pdb_lines = []
+    serial = 1
+    # 12 residues x 4 atoms in a shell around the ligand
+    for res in range(12):
+        d = rng.normal(size=3)
+        d /= np.linalg.norm(d)
+        base = lig_center + d * rng.uniform(5, 9)
+        for j, (name, el) in enumerate([("N", "N"), ("CA", "C"), ("C", "C"), ("O", "O")]):
+            x, y, z = base + rng.normal(scale=0.8, size=3)
+            pdb_lines.append(format_pdb_line(serial, name, "ALA", "A", res + 1, x, y, z, el))
+            serial += 1
+    pdb_path = tmp_path / "prot.pdb"
+    pdb_path.write_text("\n".join(pdb_lines) + "\nEND\n")
+
+    from kpdiff_tpu.data.sdf import SdfMol, write_sdf
+
+    n = 9
+    lig_pos = lig_center + np.cumsum(rng.normal(scale=0.2, size=(n, 3)) + np.array([1.4, 0.15, 0]), axis=0)
+    lig_pos -= lig_pos.mean(0) - lig_center
+    mol = SdfMol(title="ref", elements=["C"] * n, coords=lig_pos.astype(np.float32), bonds=[(i, i + 1, 1) for i in range(n - 1)])
+    sdf_path = tmp_path / "lig.sdf"
+    write_sdf([mol], sdf_path)
+    return pdb_path, sdf_path
+
+
+def test_byop_cli(trained_run, tmp_path):
+    from kpdiff_tpu.cli.byop import main as byop_main
+
+    pdb_path, sdf_path = _write_synthetic_complex_pdb_sdf(tmp_path)
+    out = tmp_path / "byop_out"
+    byop_main([
+        "--model_dir", str(trained_run), "--receptor_file", str(pdb_path),
+        "--ligand_file", str(sdf_path), "--out", str(out),
+        "--n_mols", "4", "--max_batch_size", "4", "--ligand_size", "ref",
+    ])
+    assert (out / "pocket.pdb").exists()
+    assert (out / "raw_ligands.sdf").exists()
+
+
+def test_process_bindingmoad_pipeline(tmp_path):
+    from kpdiff_tpu.cli.process_bindingmoad import main as proc_main
+
+    rng = np.random.default_rng(1)
+    data_dir = tmp_path / "moad"
+    data_dir.mkdir()
+    split_dir = tmp_path / "splits"
+    split_dir.mkdir()
+
+    from kpdiff_tpu.data.pdb import format_pdb_line
+
+    # build a fake assembly: protein residues + a HETATM ligand 'LIG' chain A resi 201
+    lig_center = np.array([10.0, 10.0, 10.0])
+    lines = []
+    serial = 1
+    for res in range(10):
+        d = rng.normal(size=3)
+        d /= np.linalg.norm(d)
+        base = lig_center + d * rng.uniform(4, 8)
+        for name, el in [("N", "N"), ("CA", "C"), ("C", "C"), ("O", "O")]:
+            x, y, z = base + rng.normal(scale=0.6, size=3)
+            lines.append(format_pdb_line(serial, name, "GLY", "A", res + 1, x, y, z, el))
+            serial += 1
+    lig_pos = lig_center + np.cumsum(rng.normal(scale=0.1, size=(10, 3)) + np.array([1.4, 0.1, 0]), axis=0)
+    lig_pos -= lig_pos.mean(0) - lig_center
+    for j, (x, y, z) in enumerate(lig_pos):
+        lines.append(format_pdb_line(serial, f"C{j}", "LIG", "A", 201, x, y, z, "C", hetero=True))
+        serial += 1
+    (data_dir / "1abc.bio1").write_text("\n".join(lines) + "\nEND\n")
+
+    for split in ["train", "val", "test"]:
+        (split_dir / f"moad_{split}.txt").write_text("1abc_LIG:A:201\n")
+
+    out_dir = tmp_path / "processed"
+    proc_main([
+        "--data_dir", str(data_dir), "--split_dir", str(split_dir), "--out", str(out_dir),
+        "--min_ligand_atoms", "5",
+    ])
+
+    from kpdiff_tpu.data.dataset import ComplexDataset
+
+    ds = ComplexDataset.from_pickle(out_dir / "train.pkl")
+    assert len(ds) == 1
+    item = ds.get(0)
+    assert item["lig_pos"].shape == (10, 3)
+    assert item["rec_pos"].shape[0] > 0
+    assert item["rec_feat"].shape[1] == 10
+    assert item["interface_points"].shape[0] >= 1
+    assert (out_dir / "train_n_node_joint_dist.pkl").exists()
+    assert (out_dir / "train_type_counts.pkl").exists()
+
+    from kpdiff_tpu.models.size_dist import LigandSizeDistribution
+
+    d = LigandSizeDistribution(out_dir)
+    assert d.sample(np.array([item["rec_pos"].shape[0]]), 3).shape == (1, 3)
