@@ -1,0 +1,88 @@
+"""In-training molecule-quality analyzer — reference ModelAnalyzer
+(analysis/metrics.py:36-206): periodically sample a few test pockets and
+report validity/connectivity/uniqueness/atom-type-KL + timing.
+"""
+from __future__ import annotations
+
+import time
+from typing import Dict, List, Optional
+
+import numpy as np
+
+
+class ModelAnalyzer:
+    def __init__(
+        self,
+        model,
+        dataset,
+        pad,
+        lig_elements: List[str],
+        n_receptors: int = 4,
+        n_replicates: int = 8,
+        train_type_counts: Optional[np.ndarray] = None,
+        train_keys: Optional[set] = None,
+        seed: int = 0,
+    ):
+        self.model = model
+        self.ds = dataset
+        self.pad = pad
+        self.lig_elements = lig_elements
+        self.n_receptors = n_receptors
+        self.n_replicates = n_replicates
+        self.train_type_counts = train_type_counts
+        self.train_keys = train_keys
+        self.rng = np.random.default_rng(seed)
+        self._jitted = None
+
+    def sample_and_analyze(self, params, rng) -> Dict[str, object]:
+        import jax
+
+        from kpdiff_tpu.analysis.metrics import evaluate_samples
+        from kpdiff_tpu.cli.sample import _to_complex
+        from kpdiff_tpu.data.dataset import pad_item
+
+        t0 = time.time()
+        idxs = self.rng.choice(len(self.ds), size=min(self.n_receptors, len(self.ds)), replace=False)
+        items = []
+        for i in idxs:
+            it = pad_item(self.ds.get(int(i)), self.pad, n_lig_feat_out=self.model.cfg.atom_nf)
+            if it is not None:
+                items.extend([it] * self.n_replicates)
+        if not items:
+            return {"analyzer_error": "no pockets fit the padding capacity"}
+        kp_vec = self.model.cfg.rec_encoder.get("vector_size", 16) if self.model.cfg.architecture == "gvp" else None
+        cpx = _to_complex(items, self.pad, self.model, kp_vec)
+
+        if self._jitted is None:
+            model = self.model
+
+            @jax.jit
+            def run(params, rng, cpx):
+                enc, kk = model.encode(params, cpx)
+                return model.sample(params, rng, enc, kk, init_com=None)
+
+            self._jitted = run
+        out = self._jitted(params, rng, cpx)
+        lig_x = np.asarray(out["lig_x"])
+        lig_h = np.asarray(out["lig_h"])
+        lig_mask = np.asarray(out["lig_mask"])
+
+        positions, elements = [], []
+        for b in range(lig_x.shape[0]):
+            m = lig_mask[b]
+            if m.sum() == 0:
+                continue
+            feats = lig_h[b][m][:, : len(self.lig_elements)]
+            positions.append(lig_x[b][m])
+            elements.append([self.lig_elements[j] for j in feats.argmax(1)])
+
+        metrics = evaluate_samples(
+            positions, elements,
+            train_keys=self.train_keys,
+            train_type_counts=self.train_type_counts,
+            element_list=self.lig_elements,
+        )
+        dt = time.time() - t0
+        metrics["sample_time"] = dt
+        metrics["sec_per_mol"] = dt / max(len(positions), 1)
+        return metrics

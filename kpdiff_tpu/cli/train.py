@@ -156,6 +156,20 @@ def main(argv=None):
     test_log = MetricsLog(run_dir / "test_metrics.pkl")
     ckpt_dir = run_dir / "checkpoints"
 
+    # in-training molecule-quality analyzer (reference ModelAnalyzer,
+    # train.py:555-572) — sampled at sample_interval fractional epochs
+    from kpdiff_tpu.analysis.analyzer import ModelAnalyzer
+
+    samp_cfg = config.get("sampling_config", {})
+    analyzer = ModelAnalyzer(
+        model, test_ds, pad, lig_elements=ds_cfg["lig_elements"],
+        n_receptors=min(samp_cfg.get("n_receptors", 2), 4),
+        n_replicates=min(samp_cfg.get("n_replicates", 4), 8),
+        seed=args.seed + 11,
+    )
+    sample_interval = tr.get("sample_interval", 0)
+    last_sample_marker = 0.0
+
     rng = jax.random.key(args.seed + 1)
     test_interval = tr.get("test_interval", 1)
     save_interval = tr.get("save_interval", 1)
@@ -199,6 +213,14 @@ def main(argv=None):
                 test_row["epoch"] = epoch_exact
                 test_log.append(**test_row)
                 print(f"  test: {test_row}", flush=True)
+
+            if sample_interval and epoch_exact - last_sample_marker >= sample_interval:
+                last_sample_marker = epoch_exact
+                rng, k = jax.random.split(rng)
+                mol_metrics = analyzer.sample_and_analyze(state.params, k)
+                mol_metrics["epoch"] = epoch_exact
+                test_log.append(**{f"mol_{k_}": v for k_, v in mol_metrics.items()})
+                print(f"  molecules: {mol_metrics}", flush=True)
 
             if epoch_exact - last_save_marker >= save_interval:
                 last_save_marker = epoch_exact
