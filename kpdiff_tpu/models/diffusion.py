@@ -70,6 +70,7 @@ class KeypointDiffusion:
                 ll_cutoff=cfg.graph_cutoffs.get("ll", 9.0),
                 kl_cutoff=cfg.graph_cutoffs.get("kl", 8.0),
                 kk_layout=dyn.get("kk_layout", "dense"),
+                compute_dtype=dyn.get("compute_dtype", "float32"),
             )
         elif cfg.architecture == "gvp":
             from kpdiff_tpu.models.dynamics_gvp import GVPDynamics
@@ -116,6 +117,11 @@ class KeypointDiffusion:
     # ------------------------------------------------------------------ init
 
     def init(self, rng: jax.Array, cpx: PaddedComplex) -> Dict[str, Any]:
+        """Parameter init, jitted — eager init dispatches thousands of tiny
+        ops, which is pathological on remote-TPU backends."""
+        return jax.jit(self._init_impl)(rng, cpx)
+
+    def _init_impl(self, rng: jax.Array, cpx: PaddedComplex) -> Dict[str, Any]:
         params: Dict[str, Any] = {}
         r_enc, r_dyn = jax.random.split(rng)
         if self.rec_encoder is not None:

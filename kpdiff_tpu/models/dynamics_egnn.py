@@ -36,6 +36,7 @@ class EGNNConvLayer(nn.Module):
     update_kp_feat: bool
     norm: bool
     kk_layout: str = "dense"  # 'dense' | 'nbr'
+    dtype: str = "float32"  # compute dtype for the pair MLPs
 
     @nn.compact
     def __call__(self, h, x, edges, z, masks):
@@ -51,6 +52,7 @@ class EGNNConvLayer(nn.Module):
                 use_tanh=self.use_tanh,
                 coords_range=10.0,
                 coord_hidden_layers=2,
+                dtype=self.dtype,
                 name=f"edge_{name}",
             )
             dh, dx = mod(h[src], h[dst], x[src], x[dst], adj)
@@ -71,6 +73,7 @@ class EGNNConvLayer(nn.Module):
                     use_tanh=self.use_tanh,
                     coords_range=10.0,
                     coord_hidden_layers=2,
+                    dtype=self.dtype,
                     name="edge_kk",
                 )
                 dh, dx = mod(h["kp"], h["kp"], x["kp"], x["kp"], idx, valid)
@@ -82,9 +85,8 @@ class EGNNConvLayer(nn.Module):
         for ntype in updated:
             hn = agg_h[ntype] / z[ntype]
             xn = agg_x[ntype] / z[ntype]
-            new_h = NodeUpdate(self.hidden_size, self.hidden_size, norm=self.norm, name=f"update_{ntype}")(
-                h[ntype], hn
-            )
+            new_h = NodeUpdate(self.hidden_size, self.hidden_size, norm=self.norm, dtype=self.dtype,
+                               name=f"update_{ntype}")(h[ntype], hn)
             m = masks[ntype][..., None].astype(new_h.dtype)
             h_out[ntype] = new_h * m
             x_out[ntype] = (x[ntype] + xn) * m
@@ -108,6 +110,7 @@ class EGNNDynamics(nn.Module):
     ll_cutoff: float = 9.0  # graph_cutoffs['ll']
     kl_cutoff: float = 8.0  # graph_cutoffs['kl']
     kk_layout: str = "dense"
+    compute_dtype: str = "float32"  # 'bfloat16' for mixed-precision pair MLPs
 
     @nn.compact
     def __call__(
@@ -192,6 +195,7 @@ class EGNNDynamics(nn.Module):
                 update_kp_feat=self.update_kp_feat,
                 norm=self.norm,
                 kk_layout=self.kk_layout,
+                dtype=self.compute_dtype,
                 name=f"conv{i}",
             )(h, x, edges, z, masks)
 

@@ -51,6 +51,7 @@ class EGNNEdgeDense(nn.Module):
     coord_hidden_layers: int = 2  # dynamics uses 2 (dynamics.py:71-78); encoder uses 1 (receptor_encoder.py:63-67)
     compute_coord: bool = True  # False replicates fix_pos (receptor_encoder.py:89-90)
     edge_feat_size: int = 0
+    dtype: str = "float32"  # compute dtype for the pair MLPs (mixed precision)
 
     @nn.compact
     def __call__(
@@ -83,38 +84,39 @@ class EGNNEdgeDense(nn.Module):
                 ) / jnp.sqrt(jnp.asarray(fan_in, jnp.float32)),
                 (h,),
             )
+            cd = jnp.dtype(self.dtype)
             scalars = dij if edge_feat is None else jnp.concatenate([dij, edge_feat], axis=-1)
             pre = (
-                (h_src @ w_s)[:, :, None, :]
-                + (h_dst @ w_d)[:, None, :, :]
-                + scalars @ w_dij
-                + b
+                (h_src.astype(cd) @ w_s.astype(cd))[:, :, None, :]
+                + (h_dst.astype(cd) @ w_d.astype(cd))[:, None, :, :]
+                + scalars.astype(cd) @ w_dij.astype(cd)
+                + b.astype(cd)
             )
             return pre
 
         # feature messages: Linear→SiLU→Linear→SiLU, then sigmoid gate
         m = nn.silu(pair_preact("edge"))
-        m = nn.silu(TorchLinear(h, name="edge_lin2")(m))
-        gate = nn.sigmoid(TorchLinear(1, name="attn")(m))
+        m = nn.silu(TorchLinear(h, dtype=self.dtype, name="edge_lin2")(m))
+        gate = nn.sigmoid(TorchLinear(1, dtype=self.dtype, name="attn")(m))
         msg_h = m * gate
 
-        adj_f = adj.astype(h_src.dtype)
-        agg_h = jnp.einsum("bsd,bsdh->bdh", adj_f, msg_h)
+        adj_f = adj.astype(msg_h.dtype)
+        agg_h = jnp.einsum("bsd,bsdh->bdh", adj_f, msg_h, preferred_element_type=jnp.float32)
 
         if not self.compute_coord:
             return agg_h, jnp.zeros_like(x_dst)
 
         c = nn.silu(pair_preact("coord"))
         for i in range(self.coord_hidden_layers - 1):
-            c = nn.silu(TorchLinear(h, name=f"coord_lin{i + 2}")(c))
+            c = nn.silu(TorchLinear(h, dtype=self.dtype, name=f"coord_lin{i + 2}")(c))
         # xavier_uniform with gain 0.001 on the output layer (dynamics.py:69-70)
         w_out = self.param("coord_out_w", xavier_uniform_scaled(0.001), (h, 1))
-        scalar = c @ w_out  # (B,Ns,Nd,1)
+        scalar = (c @ w_out.astype(c.dtype)).astype(jnp.float32)  # (B,Ns,Nd,1)
         if self.use_tanh:
             msg_x = jnp.tanh(scalar) * x_unit * self.coords_range
         else:
             msg_x = scalar * x_unit
-        agg_x = jnp.einsum("bsd,bsdc->bdc", adj_f, msg_x)
+        agg_x = jnp.einsum("bsd,bsdc->bdc", adj.astype(msg_x.dtype), msg_x)
         return agg_h, agg_x
 
 
@@ -131,6 +133,7 @@ class EGNNEdgeNbrList(nn.Module):
     coord_hidden_layers: int = 2
     compute_coord: bool = True
     edge_feat_size: int = 0
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(
@@ -165,30 +168,36 @@ class EGNNEdgeNbrList(nn.Module):
                 ) / jnp.sqrt(jnp.asarray(fan_in, jnp.float32)),
                 (h,),
             )
+            cd = jnp.dtype(self.dtype)
             scalars = dij if edge_feat is None else jnp.concatenate([dij, edge_feat], axis=-1)
-            return h_nbr @ w_s + (h_dst @ w_d)[:, :, None, :] + scalars @ w_dij + b
+            return (
+                h_nbr.astype(cd) @ w_s.astype(cd)
+                + (h_dst.astype(cd) @ w_d.astype(cd))[:, :, None, :]
+                + scalars.astype(cd) @ w_dij.astype(cd)
+                + b.astype(cd)
+            )
 
         m = nn.silu(pair_preact("edge"))
-        m = nn.silu(TorchLinear(h, name="edge_lin2")(m))
-        gate = nn.sigmoid(TorchLinear(1, name="attn")(m))
+        m = nn.silu(TorchLinear(h, dtype=self.dtype, name="edge_lin2")(m))
+        gate = nn.sigmoid(TorchLinear(1, dtype=self.dtype, name="attn")(m))
         msg_h = m * gate
 
-        valid_f = nbr_valid[..., None].astype(h_src.dtype)
-        agg_h = jnp.sum(msg_h * valid_f, axis=2)
+        valid_f = nbr_valid[..., None].astype(msg_h.dtype)
+        agg_h = jnp.sum((msg_h * valid_f).astype(jnp.float32), axis=2)
 
         if not self.compute_coord:
             return agg_h, jnp.zeros_like(x_dst)
 
         c = nn.silu(pair_preact("coord"))
         for i in range(self.coord_hidden_layers - 1):
-            c = nn.silu(TorchLinear(h, name=f"coord_lin{i + 2}")(c))
+            c = nn.silu(TorchLinear(h, dtype=self.dtype, name=f"coord_lin{i + 2}")(c))
         w_out = self.param("coord_out_w", xavier_uniform_scaled(0.001), (h, 1))
-        scalar = c @ w_out
+        scalar = (c @ w_out.astype(c.dtype)).astype(jnp.float32)
         if self.use_tanh:
             msg_x = jnp.tanh(scalar) * x_unit * self.coords_range
         else:
             msg_x = scalar * x_unit
-        agg_x = jnp.sum(msg_x * valid_f, axis=2)
+        agg_x = jnp.sum(msg_x * nbr_valid[..., None].astype(msg_x.dtype), axis=2)
         return agg_h, agg_x
 
 
@@ -198,12 +207,13 @@ class NodeUpdate(nn.Module):
     hidden_size: int
     out_size: int
     norm: bool = False
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, h, h_agg):
         inp = jnp.concatenate([h, h_agg], axis=-1)
-        upd = MLP([self.hidden_size, self.out_size], ["silu", ""], name="node_mlp")(inp)
-        out = h + upd
+        upd = MLP([self.hidden_size, self.out_size], ["silu", ""], dtype=self.dtype, name="node_mlp")(inp)
+        out = h + upd.astype(h.dtype)
         if self.norm:
             out = nn.LayerNorm(epsilon=1e-5)(out)
         return out

@@ -24,19 +24,25 @@ def torch_bias_init(key, shape, dtype=jnp.float32, fan_in: int = 1):
 
 
 class TorchLinear(nn.Module):
-    """nn.Dense with torch's default init (bias bound uses fan_in)."""
+    """nn.Dense with torch's default init (bias bound uses fan_in).
+
+    `dtype` is the compute dtype (mixed precision): params stay float32
+    masters, inputs/kernel are cast for the matmul.
+    """
 
     features: int
     use_bias: bool = True
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x):
         fan_in = x.shape[-1]
         kernel = self.param("kernel", torch_kernel_init, (fan_in, self.features))
-        y = x @ kernel
+        cd = jnp.dtype(self.dtype)
+        y = x.astype(cd) @ kernel.astype(cd)
         if self.use_bias:
             bias = self.param("bias", lambda k, s: torch_bias_init(k, s, fan_in=fan_in), (self.features,))
-            y = y + bias
+            y = y + bias.astype(cd)
         return y
 
 
@@ -46,11 +52,12 @@ class MLP(nn.Module):
     features: Sequence[int]
     acts: Sequence[str]  # entries: 'silu', 'sigmoid', 'tanh', ''
     use_bias: bool = True
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x):
         for i, feat in enumerate(self.features):
-            x = TorchLinear(feat, use_bias=self.use_bias, name=f"lin{i}")(x)
+            x = TorchLinear(feat, use_bias=self.use_bias, dtype=self.dtype, name=f"lin{i}")(x)
             act = self.acts[i]
             if act == "silu":
                 x = nn.silu(x)
