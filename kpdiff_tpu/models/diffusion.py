@@ -72,9 +72,16 @@ class KeypointDiffusion:
                 kk_layout=dyn.get("kk_layout", "dense"),
                 compute_dtype=dyn.get("compute_dtype", "float32"),
             )
+            # sampling-only variant with the fused Pallas edge kernel
+            # (forward-only: pallas_call has no VJP; training uses XLA)
+            if dyn.get("use_pallas_sampling", False):
+                self.dynamics_sample = self.dynamics.clone(use_pallas=True)
+            else:
+                self.dynamics_sample = self.dynamics
         elif cfg.architecture == "gvp":
             from kpdiff_tpu.models.dynamics_gvp import GVPDynamics
 
+            self.dynamics_sample = None  # set below
             self.dynamics = GVPDynamics(
                 n_lig_scalars=cfg.atom_nf,
                 n_kp_scalars=cfg.rec_nf,
@@ -84,6 +91,9 @@ class KeypointDiffusion:
             )
         else:
             raise ValueError(cfg.architecture)
+
+        if getattr(self, "dynamics_sample", None) is None:
+            self.dynamics_sample = self.dynamics
 
         self.rec_encoder = None
         if cfg.rec_encoder_type == "learned":
@@ -166,12 +176,14 @@ class KeypointDiffusion:
             cpx.kp_x, cpx.kp_mask, cpx.kp_x, cpx.kp_mask, self.cfg.graph_cutoffs["kk"], 100, exclude_self=True
         )
 
-    def _apply_dynamics(self, params, lig_x, lig_h, lig_mask, kp_x, kp_h, kp_mask, t, kk, kp_v=None):
+    def _apply_dynamics(self, params, lig_x, lig_h, lig_mask, kp_x, kp_h, kp_mask, t, kk, kp_v=None,
+                        sampling: bool = False):
+        mod = self.dynamics_sample if sampling else self.dynamics
         if self.cfg.architecture == "gvp":
-            return self.dynamics.apply(
+            return mod.apply(
                 {"params": params["dynamics"]}, lig_x, lig_h, lig_mask, kp_x, kp_h, kp_mask, t, kk, kp_v
             )
-        return self.dynamics.apply(
+        return mod.apply(
             {"params": params["dynamics"]}, lig_x, lig_h, lig_mask, kp_x, kp_h, kp_mask, t, kk
         )
 
@@ -333,7 +345,8 @@ class KeypointDiffusion:
             sigma_t = sigma_from_gamma(gamma_t)
 
             eps_h, eps_x = self._apply_dynamics(
-                params, lig_x, lig_h, cpx.lig_mask, kp_x, cpx.kp_h, cpx.kp_mask, t_arr, kk_edges, cpx.kp_v
+                params, lig_x, lig_h, cpx.lig_mask, kp_x, cpx.kp_h, cpx.kp_mask, t_arr, kk_edges, cpx.kp_v,
+                sampling=True,
             )
 
             var_term = (sigma2_ts / alpha_ts / sigma_t)[:, None, None]

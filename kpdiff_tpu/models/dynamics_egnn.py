@@ -37,6 +37,7 @@ class EGNNConvLayer(nn.Module):
     norm: bool
     kk_layout: str = "dense"  # 'dense' | 'nbr'
     dtype: str = "float32"  # compute dtype for the pair MLPs
+    use_pallas: bool = False  # fused VMEM edge kernel (forward-only)
 
     @nn.compact
     def __call__(self, h, x, edges, z, masks):
@@ -53,6 +54,7 @@ class EGNNConvLayer(nn.Module):
                 coords_range=10.0,
                 coord_hidden_layers=2,
                 dtype=self.dtype,
+                use_pallas=self.use_pallas,
                 name=f"edge_{name}",
             )
             dh, dx = mod(h[src], h[dst], x[src], x[dst], adj)
@@ -111,6 +113,7 @@ class EGNNDynamics(nn.Module):
     kl_cutoff: float = 8.0  # graph_cutoffs['kl']
     kk_layout: str = "dense"
     compute_dtype: str = "float32"  # 'bfloat16' for mixed-precision pair MLPs
+    use_pallas: bool = False  # fused VMEM edge kernel (forward-only; sampling)
 
     @nn.compact
     def __call__(
@@ -196,6 +199,7 @@ class EGNNDynamics(nn.Module):
                 norm=self.norm,
                 kk_layout=self.kk_layout,
                 dtype=self.compute_dtype,
+                use_pallas=self.use_pallas,
                 name=f"conv{i}",
             )(h, x, edges, z, masks)
 

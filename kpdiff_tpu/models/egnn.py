@@ -52,6 +52,30 @@ class EGNNEdgeDense(nn.Module):
     compute_coord: bool = True  # False replicates fix_pos (receptor_encoder.py:89-90)
     edge_feat_size: int = 0
     dtype: str = "float32"  # compute dtype for the pair MLPs (mixed precision)
+    use_pallas: bool = False  # fused VMEM kernel (forward-only; sampling path)
+
+    def _linear_params(self, name, d_in, d_out):
+        w = self.param(f"{name}_w", nn.initializers.variance_scaling(1 / 3, "fan_in", "uniform"), (d_in, d_out))
+        b = self.param(
+            f"{name}_b",
+            lambda k, s: jnp.asarray(nn.initializers.uniform(scale=2.0)(k, s) - 1.0, jnp.float32)
+            / jnp.sqrt(jnp.asarray(d_in, jnp.float32)),
+            (d_out,),
+        )
+        return w, b
+
+    def _first_layer_params(self, name, f_in, h):
+        w_s = self.param(f"{name}_w_src", nn.initializers.variance_scaling(1 / 3, "fan_in", "uniform"), (f_in, h))
+        w_d = self.param(f"{name}_w_dst", nn.initializers.variance_scaling(1 / 3, "fan_in", "uniform"), (f_in, h))
+        w_dij = self.param(f"{name}_w_dij", nn.initializers.variance_scaling(1 / 3, "fan_in", "uniform"), (1 + self.edge_feat_size, h))
+        fan_in = 2 * f_in + 1 + self.edge_feat_size
+        b = self.param(
+            f"{name}_b",
+            lambda k, s: jnp.asarray(nn.initializers.uniform(scale=2.0)(k, s) - 1.0, jnp.float32)
+            / jnp.sqrt(jnp.asarray(fan_in, jnp.float32)),
+            (h,),
+        )
+        return w_s, w_d, w_dij, b
 
     @nn.compact
     def __call__(
@@ -65,6 +89,42 @@ class EGNNEdgeDense(nn.Module):
     ):
         f_in = h_src.shape[-1]
         h = self.hidden_size
+        cd = jnp.dtype(self.dtype)
+
+        e_ws, e_wd, e_wdij, e_b = self._first_layer_params("edge", f_in, h)
+        l2_w, l2_b = self._linear_params("edge_lin2", h, h)
+        at_w, at_b = self._linear_params("attn", h, 1)
+        if self.compute_coord:
+            c_ws, c_wd, c_wdij, c_b = self._first_layer_params("coord", f_in, h)
+            c2 = [self._linear_params(f"coord_lin{i + 2}", h, h) for i in range(self.coord_hidden_layers - 1)]
+            w_out = self.param("coord_out_w", xavier_uniform_scaled(0.001), (h, 1))
+
+        pallas_ok = (
+            self.use_pallas
+            and self.compute_coord
+            and self.coord_hidden_layers == 2
+            and self.edge_feat_size == 0
+            and edge_feat is None
+        )
+        if pallas_ok:
+            from kpdiff_tpu.ops.pallas.egnn_edge import fused_dense_edge
+
+            # fold the hidden-layer biases into the destination projections,
+            # and the lin2/attn biases are passed through fused as extra rows
+            a_e_s = h_src @ e_ws
+            a_e_d = h_dst @ e_wd + e_b
+            a_c_s = h_src @ c_ws
+            a_c_d = h_dst @ c_wd + c_b
+            c2_w, c2_b = c2[0]
+            return fused_dense_edge(
+                a_e_s, a_e_d, a_c_s, a_c_d,
+                e_wdij, c_wdij,
+                l2_w, l2_b, at_w, at_b[None], c2_w, c2_b, w_out,
+                x_src, x_dst, adj,
+                use_tanh=self.use_tanh,
+                coords_range=self.coords_range,
+                compute_dtype=cd,
+            )
 
         diff = x_src[:, :, None, :] - x_dst[:, None, :, :]  # (B,Ns,Nd,3)
         # padded nodes can carry garbage positions; clean them so no inf/nan
@@ -72,32 +132,19 @@ class EGNNEdgeDense(nn.Module):
         dij = jnp.linalg.norm(diff + 1e-30, axis=-1, keepdims=True)  # (B,Ns,Nd,1)
         x_unit = diff / (dij + 1.0)
 
-        def pair_preact(name):
-            w_s = self.param(f"{name}_w_src", nn.initializers.variance_scaling(1 / 3, "fan_in", "uniform"), (f_in, h))
-            w_d = self.param(f"{name}_w_dst", nn.initializers.variance_scaling(1 / 3, "fan_in", "uniform"), (f_in, h))
-            w_dij = self.param(f"{name}_w_dij", nn.initializers.variance_scaling(1 / 3, "fan_in", "uniform"), (1 + self.edge_feat_size, h))
-            fan_in = 2 * f_in + 1 + self.edge_feat_size
-            b = self.param(
-                f"{name}_b",
-                lambda k, s: jnp.asarray(
-                    nn.initializers.uniform(scale=2.0)(k, s) - 1.0, jnp.float32
-                ) / jnp.sqrt(jnp.asarray(fan_in, jnp.float32)),
-                (h,),
-            )
-            cd = jnp.dtype(self.dtype)
+        def pair_preact(w_s, w_d, w_dij, b):
             scalars = dij if edge_feat is None else jnp.concatenate([dij, edge_feat], axis=-1)
-            pre = (
+            return (
                 (h_src.astype(cd) @ w_s.astype(cd))[:, :, None, :]
                 + (h_dst.astype(cd) @ w_d.astype(cd))[:, None, :, :]
                 + scalars.astype(cd) @ w_dij.astype(cd)
                 + b.astype(cd)
             )
-            return pre
 
         # feature messages: Linear→SiLU→Linear→SiLU, then sigmoid gate
-        m = nn.silu(pair_preact("edge"))
-        m = nn.silu(TorchLinear(h, dtype=self.dtype, name="edge_lin2")(m))
-        gate = nn.sigmoid(TorchLinear(1, dtype=self.dtype, name="attn")(m))
+        m = nn.silu(pair_preact(e_ws, e_wd, e_wdij, e_b))
+        m = nn.silu(m @ l2_w.astype(cd) + l2_b.astype(cd))
+        gate = nn.sigmoid(m @ at_w.astype(cd) + at_b.astype(cd))
         msg_h = m * gate
 
         adj_f = adj.astype(msg_h.dtype)
@@ -106,11 +153,10 @@ class EGNNEdgeDense(nn.Module):
         if not self.compute_coord:
             return agg_h, jnp.zeros_like(x_dst)
 
-        c = nn.silu(pair_preact("coord"))
-        for i in range(self.coord_hidden_layers - 1):
-            c = nn.silu(TorchLinear(h, dtype=self.dtype, name=f"coord_lin{i + 2}")(c))
+        c = nn.silu(pair_preact(c_ws, c_wd, c_wdij, c_b))
+        for cw, cb in c2:
+            c = nn.silu(c @ cw.astype(cd) + cb.astype(cd))
         # xavier_uniform with gain 0.001 on the output layer (dynamics.py:69-70)
-        w_out = self.param("coord_out_w", xavier_uniform_scaled(0.001), (h, 1))
         scalar = (c @ w_out.astype(c.dtype)).astype(jnp.float32)  # (B,Ns,Nd,1)
         if self.use_tanh:
             msg_x = jnp.tanh(scalar) * x_unit * self.coords_range
