@@ -44,6 +44,7 @@ class GVPMultiEdgeConvDense(nn.Module):
     dropout: float = 0.0
     rbf_dmax: float = 15.0
     rbf_dim: int = 16
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, node_data, adj, masks, deterministic: bool = True):
@@ -64,6 +65,7 @@ class GVPMultiEdgeConvDense(nn.Module):
                 rbf_dmax=self.rbf_dmax,
                 rbf_dim=self.rbf_dim,
                 agg=agg,
+                dtype=self.dtype,
                 name=f"message_{ename}",
             )(h_s, v_s, x_s, h_d, v_d, x_d, adj[ename])
             agg_s[dst] = agg_s[dst] + ds
@@ -97,8 +99,11 @@ class GVPMultiEdgeConvDense(nn.Module):
 
             s_res, v_res = GVPChain(
                 _update_specs(self.scalar_size, self.vector_size, self.n_update_gvps),
+                dtype=self.dtype,
                 name=f"update_{ntype}",
             )((h, v))
+            s_res = s_res.astype(h.dtype)
+            v_res = v_res.astype(v.dtype)
             if self.dropout > 0 and not deterministic:
                 key = self.make_rng("dropout")
                 s_res, v_res = gvp_dropout(key, s_res, v_res, self.dropout, deterministic)
@@ -156,6 +161,7 @@ class GVPDynamics(nn.Module):
     n_update_gvps: int = 2
     n_noise_gvps: int = 3
     dropout: float = 0.0
+    compute_dtype: str = "float32"
 
     NO_KP_EDGES = (("lig", "ll", "lig"), ("kp", "kl", "lig"))
     KP_EDGES = NO_KP_EDGES + (("lig", "lk", "kp"), ("kp", "kk", "kp"))
@@ -217,6 +223,7 @@ class GVPDynamics(nn.Module):
                 n_update_gvps=self.n_update_gvps,
                 message_norm=self.message_norm,
                 dropout=self.dropout,
+                dtype=self.compute_dtype,
                 name=f"conv{i}",
             )(node_data, adj, masks, deterministic=deterministic)
 

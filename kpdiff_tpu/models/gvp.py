@@ -41,10 +41,14 @@ class GVP(nn.Module):
     feats_activation: str = "silu"
     vectors_activation: str = "sigmoid"  # 'sigmoid' | 'identity'
     vector_gating: bool = True
+    dtype: str = "float32"  # compute dtype (mixed precision)
 
     @nn.compact
     def __call__(self, data: Tuple[jnp.ndarray, jnp.ndarray]):
         feats, vectors = data
+        cd = jnp.dtype(self.dtype)
+        feats = feats.astype(cd)
+        vectors = vectors.astype(cd)
         v_in = self.dim_vectors_in
         dim_h = self.hidden_vectors or max(v_in, self.dim_vectors_out)
 
@@ -57,19 +61,19 @@ class GVP(nn.Module):
         Wh = self.param("Wh", uinit(1.0 / (v_in**0.5)), (v_in, dim_h))
         Wu = self.param("Wu", uinit(1.0 / (dim_h**0.5)), (dim_h, self.dim_vectors_out))
 
-        Vh = jnp.einsum("...vc,vh->...hc", vectors, Wh)
-        Vu = jnp.einsum("...hc,hu->...uc", Vh, Wu)
+        Vh = jnp.einsum("...vc,vh->...hc", vectors, Wh.astype(cd), preferred_element_type=cd)
+        Vu = jnp.einsum("...hc,hu->...uc", Vh, Wu.astype(cd), preferred_element_type=cd)
         sh = norm_no_nan(Vh, axis=-1)  # (..., dim_h)
 
-        s = jnp.concatenate([feats, sh], axis=-1)
-        feats_out = TorchLinear(self.dim_feats_out, name="to_feats_out")(s)
+        s = jnp.concatenate([feats, sh.astype(cd)], axis=-1)
+        feats_out = TorchLinear(self.dim_feats_out, dtype=self.dtype, name="to_feats_out")(s)
         if self.feats_activation == "silu":
             feats_out = nn.silu(feats_out)
         elif self.feats_activation != "identity":
             raise ValueError(self.feats_activation)
 
         if self.vector_gating:
-            gating = TorchLinear(self.dim_vectors_out, name="scalar_to_vector_gates")(feats_out)
+            gating = TorchLinear(self.dim_vectors_out, dtype=self.dtype, name="scalar_to_vector_gates")(feats_out)
             gating = gating[..., None]
         else:
             gating = norm_no_nan(Vu, axis=-1, keepdims=True)
@@ -88,11 +92,12 @@ class GVPChain(nn.Module):
     """nn.Sequential of GVPs (message / update functions chain them)."""
 
     specs: Sequence[dict]
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, data):
         for i, spec in enumerate(self.specs):
-            data = GVP(**spec, name=f"gvp{i}")(data)
+            data = GVP(**spec, dtype=self.dtype, name=f"gvp{i}")(data)
         return data
 
 
@@ -154,6 +159,7 @@ class GVPEdgeMessagesDense(nn.Module):
     use_dst_feats: bool = False
     edge_feat_size: int = 0
     agg: str = "sum"
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, h_src, v_src, x_src, h_dst, v_dst, x_dst, adj, edge_feat=None):
@@ -180,12 +186,13 @@ class GVPEdgeMessagesDense(nn.Module):
         extra_s = self.rbf_dim + self.edge_feat_size + (self.scalar_size if self.use_dst_feats else 0)
         msg_s, msg_v = GVPChain(
             _message_specs(self.scalar_size, self.vector_size, self.n_message_gvps, extra_s, extra_v),
+            dtype=self.dtype,
             name="message",
         )((scalars, vectors))
 
         adj_f = adj.astype(msg_s.dtype)
-        agg_s = jnp.einsum("bsd,bsdf->bdf", adj_f, msg_s)
-        agg_v = jnp.einsum("bsd,bsdvc->bdvc", adj_f, msg_v)
+        agg_s = jnp.einsum("bsd,bsdf->bdf", adj_f, msg_s, preferred_element_type=jnp.float32)
+        agg_v = jnp.einsum("bsd,bsdvc->bdvc", adj_f, msg_v, preferred_element_type=jnp.float32)
         if self.agg == "mean":
             cnt = jnp.maximum(jnp.sum(adj_f, axis=1), 1.0)  # (B, Nd)
             agg_s = agg_s / cnt[..., None]
@@ -207,6 +214,7 @@ class GVPEdgeMessagesNbr(nn.Module):
     use_dst_feats: bool = False
     edge_feat_size: int = 0
     agg: str = "sum"
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, h_src, v_src, x_src, h_dst, v_dst, x_dst, nbr_idx, nbr_valid, edge_feat=None):
@@ -236,12 +244,13 @@ class GVPEdgeMessagesNbr(nn.Module):
         extra_s = self.rbf_dim + self.edge_feat_size + (self.scalar_size if self.use_dst_feats else 0)
         msg_s, msg_v = GVPChain(
             _message_specs(self.scalar_size, self.vector_size, self.n_message_gvps, extra_s, extra_v),
+            dtype=self.dtype,
             name="message",
         )((scalars, vectors))
 
         vf = nbr_valid[..., None].astype(msg_s.dtype)
-        agg_s = jnp.sum(msg_s * vf, axis=2)
-        agg_v = jnp.sum(msg_v * vf[..., None], axis=2)
+        agg_s = jnp.sum((msg_s * vf).astype(jnp.float32), axis=2)
+        agg_v = jnp.sum((msg_v * vf[..., None]).astype(jnp.float32), axis=2)
         if self.agg == "mean":
             cnt = jnp.maximum(jnp.sum(vf, axis=2), 1.0)  # (B,Nd,1)
             agg_s = agg_s / cnt
