@@ -1,0 +1,110 @@
+"""Torch-checkpoint import: reference state_dict -> kpdiff_tpu params.
+
+The reference ships torch state_dicts (all stripped from the local mirror,
+SURVEY.md §5.4), keyed by its module paths (models/dynamics.py structure).
+This converter maps an EGNN-architecture state_dict onto our param tree so
+released checkpoints can be served from this framework when available.
+
+Key structural transform: the reference's first edge/coord Linear takes
+concat(h_src, h_dst, dij) (dynamics.py:39-45,71-78); we factorize it into
+per-node projections, so its weight (H, 2F+1+E) is split column-wise into
+w_src / w_dst / w_dij. torch Linear weights are (out, in) -> transposed.
+
+Covered: LigRecDynamics (all edge types, node updates, layer norms,
+encoders/decoders) and FixedReceptorEncoder models (no encoder params).
+The learned-encoder and GVP mappings follow the same recipe and are
+tracked as a known follow-up.
+"""
+from __future__ import annotations
+
+from typing import Dict
+
+import numpy as np
+
+
+def _t(w):
+    return np.asarray(w).T.copy()
+
+
+def convert_egnn_dynamics_state_dict(
+    sd: Dict[str, np.ndarray],
+    n_layers: int,
+    update_kp_feat: bool,
+    rec_nf: int,
+    hidden_nf: int,
+) -> Dict:
+    """Reference LigRecDynamics state_dict -> params['dynamics'] tree."""
+    F = hidden_nf + 1  # feature width inside the EGNN (t channel appended)
+    out: Dict = {}
+
+    def mlp(prefix_ref, idxs=(0, 2)):
+        return {
+            f"lin{i}": {"kernel": _t(sd[f"{prefix_ref}.{j}.weight"]), "bias": np.asarray(sd[f"{prefix_ref}.{j}.bias"])}
+            for i, j in enumerate(idxs)
+        }
+
+    out["lig_encoder"] = mlp("lig_encoder")
+    out["lig_decoder"] = mlp("lig_decoder")
+    if rec_nf != hidden_nf:
+        out["kp_encoder"] = mlp("rec_encoder")
+
+    etypes = ["ll", "kl", "lk", "kk"] if update_kp_feat else ["ll", "kl"]
+    ntypes = ["lig", "kp"] if update_kp_feat else ["lig"]
+
+    for i in range(n_layers):
+        layer: Dict = {}
+        base = f"egnn.conv_layers.{i}"
+        for et in etypes:
+            e: Dict = {}
+            w1 = np.asarray(sd[f"{base}.edge_mlp.{et}.0.weight"])  # (H, 2F+1)
+            e["edge_w_src"] = _t(w1[:, :F])
+            e["edge_w_dst"] = _t(w1[:, F : 2 * F])
+            e["edge_w_dij"] = _t(w1[:, 2 * F :])
+            e["edge_b"] = np.asarray(sd[f"{base}.edge_mlp.{et}.0.bias"])
+            e["edge_lin2_w"] = _t(sd[f"{base}.edge_mlp.{et}.2.weight"])
+            e["edge_lin2_b"] = np.asarray(sd[f"{base}.edge_mlp.{et}.2.bias"])
+            e["attn_w"] = _t(sd[f"{base}.soft_attention.{et}.0.weight"])
+            e["attn_b"] = np.asarray(sd[f"{base}.soft_attention.{et}.0.bias"])
+            c1 = np.asarray(sd[f"{base}.coord_mlp.{et}.0.weight"])
+            e["coord_w_src"] = _t(c1[:, :F])
+            e["coord_w_dst"] = _t(c1[:, F : 2 * F])
+            e["coord_w_dij"] = _t(c1[:, 2 * F :])
+            e["coord_b"] = np.asarray(sd[f"{base}.coord_mlp.{et}.0.bias"])
+            e["coord_lin2_w"] = _t(sd[f"{base}.coord_mlp.{et}.2.weight"])
+            e["coord_lin2_b"] = np.asarray(sd[f"{base}.coord_mlp.{et}.2.bias"])
+            e["coord_out_w"] = _t(sd[f"{base}.coord_mlp.{et}.4.weight"])
+            layer[f"edge_{et}"] = e
+        for nt in ntypes:
+            upd: Dict = {"node_mlp": mlp(f"{base}.node_mlp.{nt}")}
+            ln_w = sd.get(f"{base}.layer_norm.{nt}.weight")
+            if ln_w is not None:
+                upd["LayerNorm_0"] = {
+                    "scale": np.asarray(ln_w),
+                    "bias": np.asarray(sd[f"{base}.layer_norm.{nt}.bias"]),
+                }
+            layer[f"update_{nt}"] = upd
+        out[f"conv{i}"] = layer
+    return out
+
+
+def convert_reference_checkpoint(sd: Dict[str, np.ndarray], model) -> Dict:
+    """Full state_dict -> our params for fixed-encoder EGNN models.
+
+    `model` is a kpdiff_tpu KeypointDiffusion (for config introspection).
+    """
+    cfg = model.cfg
+    if cfg.architecture != "egnn":
+        raise NotImplementedError("GVP checkpoint import: follow-up (same recipe)")
+    dyn_sd = {k[len("dynamics."):]: v for k, v in sd.items() if k.startswith("dynamics.")}
+    params = {
+        "dynamics": convert_egnn_dynamics_state_dict(
+            dyn_sd,
+            n_layers=cfg.dynamics.get("n_layers", 6),
+            update_kp_feat=cfg.dynamics.get("update_kp_feat", False),
+            rec_nf=cfg.rec_nf,
+            hidden_nf=cfg.dynamics.get("hidden_nf", 256),
+        )
+    }
+    if cfg.rec_encoder_type == "learned":
+        raise NotImplementedError("learned-encoder import: follow-up (same recipe)")
+    return params
