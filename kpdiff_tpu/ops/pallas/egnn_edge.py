@@ -49,32 +49,37 @@ def _kernel(
     dij = jnp.sqrt(jnp.sum(jnp.square(diff + 1e-30), axis=-1, keepdims=True))  # (Ns,Nd,1)
     x_unit = diff / (dij + 1.0)
 
+    # Mosaic note: bf16 3D broadcasts trip a verifier bug ('vector.broadcast'
+    # element-type mismatch) on this toolchain; elementwise work stays f32
+    # (VPU), only the 2D matmul operands are cast to the accumulate dtype.
     cd = acc_dtype
-    a_e_s = a_e_s_ref[0].astype(cd)
-    a_e_d = a_e_d_ref[0].astype(cd)
-    w_e_dij = w_e_dij_ref[:].astype(cd)  # (1, H)
+    a_e_s = a_e_s_ref[0]
+    a_e_d = a_e_d_ref[0]
+    w_e_dij = w_e_dij_ref[:]  # (1, H)
 
-    pre_e = a_e_s[:, None, :] + a_e_d[None, :, :] + dij.astype(cd) * w_e_dij[None]
-    m = jax.nn.silu(pre_e).reshape(ns * nd, H)
-    m2 = jax.nn.silu(jnp.dot(m, W2e_ref[:].astype(cd), preferred_element_type=cd) + b2e_ref[:].astype(cd))
+    pre_e = a_e_s[:, None, :] + a_e_d[None, :, :] + dij * w_e_dij[None]
+    m = jax.nn.silu(pre_e).reshape(ns * nd, H).astype(cd)
+    m2 = jax.nn.silu(
+        jnp.dot(m, W2e_ref[:].astype(cd), preferred_element_type=jnp.float32) + b2e_ref[:]
+    )
     gate = jax.nn.sigmoid(
-        jnp.dot(m2, w_attn_ref[:].astype(cd), preferred_element_type=cd) + b_attn_ref[:].astype(cd)
+        jnp.dot(m2.astype(cd), w_attn_ref[:].astype(cd), preferred_element_type=jnp.float32) + b_attn_ref[:]
     )
     msg_h = (m2 * gate).reshape(ns, nd, H)
 
     adj_f = (adj != 0).astype(jnp.float32)
-    # masked per-destination reduce in f32: (Nd, Ns) @ (Ns, [Nd*H slice])
-    masked = msg_h.astype(jnp.float32) * adj_f[..., None]
-    agg_h_ref[0] = jnp.sum(masked, axis=0)
+    agg_h_ref[0] = jnp.sum(msg_h * adj_f[..., None], axis=0)
 
     if compute_coord:
-        a_c_s = a_c_s_ref[0].astype(cd)
-        a_c_d = a_c_d_ref[0].astype(cd)
-        w_c_dij = w_c_dij_ref[:].astype(cd)
-        pre_c = a_c_s[:, None, :] + a_c_d[None, :, :] + dij.astype(cd) * w_c_dij[None]
-        c = jax.nn.silu(pre_c).reshape(ns * nd, H)
-        c2 = jax.nn.silu(jnp.dot(c, W2c_ref[:].astype(cd), preferred_element_type=cd) + b2c_ref[:].astype(cd))
-        scalar = jnp.dot(c2, w_cout_ref[:].astype(jnp.float32), preferred_element_type=jnp.float32)
+        a_c_s = a_c_s_ref[0]
+        a_c_d = a_c_d_ref[0]
+        w_c_dij = w_c_dij_ref[:]
+        pre_c = a_c_s[:, None, :] + a_c_d[None, :, :] + dij * w_c_dij[None]
+        c = jax.nn.silu(pre_c).reshape(ns * nd, H).astype(cd)
+        c2 = jax.nn.silu(
+            jnp.dot(c, W2c_ref[:].astype(cd), preferred_element_type=jnp.float32) + b2c_ref[:]
+        )
+        scalar = jnp.dot(c2.astype(cd), w_cout_ref[:].astype(cd), preferred_element_type=jnp.float32)
         scalar = scalar.reshape(ns, nd, 1)
         if use_tanh:
             msg_x = jnp.tanh(scalar) * x_unit * coords_range
