@@ -41,10 +41,10 @@ def _kernel(
 
     x_s = x_s_ref[0]
     x_d = x_d_ref[0]
-    adj = adj_ref[0]  # (Ns, Nd) int8
+    adj = adj_ref[0]  # (Ns, Nd) f32 mask (Mosaic cannot reshape 8-bit minor dims)
 
     diff = x_s[:, None, :] - x_d[None, :, :]  # (Ns, Nd, 3)
-    adj_b = adj[..., None] != 0
+    adj_b = adj[..., None] > 0
     diff = jnp.where(adj_b, diff, 0.0)
     dij = jnp.sqrt(jnp.sum(jnp.square(diff + 1e-30), axis=-1, keepdims=True))  # (Ns,Nd,1)
     x_unit = diff / (dij + 1.0)
@@ -67,7 +67,7 @@ def _kernel(
     )
     msg_h = (m2 * gate).reshape(ns, nd, H)
 
-    adj_f = (adj != 0).astype(jnp.float32)
+    adj_f = adj
     agg_h_ref[0] = jnp.sum(msg_h * adj_f[..., None], axis=0)
 
     if compute_coord:
@@ -144,6 +144,6 @@ def fused_dense_edge(
         w_e_dij, w_c_dij,
         W2e, b2e.reshape(1, -1), w_attn, b_attn.reshape(1, 1),
         W2c, b2c.reshape(1, -1), w_cout,
-        x_s, x_d, adj.astype(jnp.int8),
+        x_s, x_d, adj.astype(jnp.float32),
     )
     return agg_h, agg_x
