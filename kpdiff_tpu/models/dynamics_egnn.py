@@ -22,9 +22,9 @@ from typing import Dict, Optional, Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
-from kpdiff_tpu.models.egnn import EGNNEdgeDense, EGNNEdgeNbrList, NodeUpdate
+from kpdiff_tpu.models.egnn import EGNNEdgeDense, EGNNEdgeKNNPairs, EGNNEdgeNbrList, NodeUpdate
 from kpdiff_tpu.models.nn import MLP
-from kpdiff_tpu.ops.neighbors import dense_knn_adjacency, dense_radius_adjacency
+from kpdiff_tpu.ops.neighbors import dense_knn_adjacency, dense_radius_adjacency, knn_indices
 
 
 class EGNNConvLayer(nn.Module):
@@ -62,10 +62,31 @@ class EGNNConvLayer(nn.Module):
             agg_x[dst] = agg_x[dst] + dx
 
         dense("ll", "lig", "lig", edges["ll"])
-        dense("kl", "kp", "lig", edges["kl"])
+
+        if "kl_pairs" in edges:
+            # knn kl/lk on the true K*kl_k edge list (10x fewer pair slots
+            # than the dense grid; identical edges and math)
+            idx, valid = edges["kl_pairs"]
+            dh, dx = EGNNEdgeKNNPairs(
+                hidden_size=self.hidden_size, anchor_is_src=True,
+                use_tanh=self.use_tanh, dtype=self.dtype, name="edge_kl",
+            )(h["kp"], h["lig"], x["kp"], x["lig"], idx, valid)
+            agg_h["lig"] = agg_h["lig"] + dh
+            agg_x["lig"] = agg_x["lig"] + dx
+        else:
+            dense("kl", "kp", "lig", edges["kl"])
 
         if self.update_kp_feat:
-            dense("lk", "lig", "kp", edges["lk"])
+            if "kl_pairs" in edges:
+                idx, valid = edges["kl_pairs"]
+                dh, dx = EGNNEdgeKNNPairs(
+                    hidden_size=self.hidden_size, anchor_is_src=False,
+                    use_tanh=self.use_tanh, dtype=self.dtype, name="edge_lk",
+                )(h["kp"], h["lig"], x["kp"], x["lig"], idx, valid)
+                agg_h["kp"] = agg_h["kp"] + dh
+                agg_x["kp"] = agg_x["kp"] + dx
+            else:
+                dense("lk", "lig", "kp", edges["lk"])
             if self.kk_layout == "dense":
                 dense("kk", "kp", "kp", edges["kk"])
             else:
@@ -150,14 +171,20 @@ class EGNNDynamics(nn.Module):
             ll = dense_knn_adjacency(lig_x, lig_mask, lig_x, lig_mask, self.ll_k, per="dst", exclude_self=True)
         else:
             ll = dense_radius_adjacency(lig_x, lig_mask, lig_x, lig_mask, self.ll_cutoff, exclude_self=True)
+        edges: Dict[str, jnp.ndarray] = {"ll": ll}
         if self.kl_k > 0:
-            kl = dense_knn_adjacency(kp_x, kp_mask, lig_x, lig_mask, self.kl_k, per="src")
+            # per-kp k-nearest ligand atoms as an explicit pair list
+            kl_idx, _kl_dist, kl_valid = knn_indices(lig_x, lig_mask, kp_x, kp_mask, self.kl_k)
+            kl_valid = kl_valid & kp_mask[:, :, None]
+            edges["kl_pairs"] = (kl_idx, kl_valid)
+            e_kl = jnp.sum(kl_valid, axis=(1, 2))
         else:
             kl = dense_radius_adjacency(kp_x, kp_mask, lig_x, lig_mask, self.kl_cutoff)
-
-        edges: Dict[str, jnp.ndarray] = {"ll": ll, "kl": kl}
+            edges["kl"] = kl
+            e_kl = jnp.sum(kl, axis=(1, 2))
         if self.update_kp_feat:
-            edges["lk"] = jnp.swapaxes(kl, 1, 2)
+            if self.kl_k == 0:
+                edges["lk"] = jnp.swapaxes(edges["kl"], 1, 2)
             if kk_edges is None:
                 raise ValueError("kk_edges required when update_kp_feat=True")
             edges["kk"] = kk_edges
@@ -166,7 +193,7 @@ class EGNNDynamics(nn.Module):
         z = {}
         if self.message_norm == 0:
             n_lig = jnp.maximum(jnp.sum(lig_mask, axis=1), 1)
-            e_lig = jnp.sum(ll, axis=(1, 2)) + jnp.sum(kl, axis=(1, 2))
+            e_lig = jnp.sum(ll, axis=(1, 2)) + e_kl
             z["lig"] = (e_lig / n_lig + 1.0)[:, None, None]
             if self.update_kp_feat:
                 n_kp = jnp.maximum(jnp.sum(kp_mask, axis=1), 1)
@@ -174,7 +201,7 @@ class EGNNDynamics(nn.Module):
                     e_kk = jnp.sum(edges["kk"], axis=(1, 2))
                 else:
                     e_kk = jnp.sum(edges["kk"][1], axis=(1, 2))
-                e_kp = jnp.sum(edges["lk"], axis=(1, 2)) + e_kk
+                e_kp = e_kl + e_kk  # lk edge count == kl edge count
                 z["kp"] = (e_kp / n_kp + 1.0)[:, None, None]
             else:
                 z["kp"] = 1.0

@@ -27,6 +27,7 @@ from __future__ import annotations
 from typing import Optional, Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from kpdiff_tpu.models.nn import MLP, TorchLinear, xavier_uniform_scaled
@@ -163,6 +164,106 @@ class EGNNEdgeDense(nn.Module):
         else:
             msg_x = scalar * x_unit
         agg_x = jnp.einsum("bsd,bsdc->bdc", adj.astype(msg_x.dtype), msg_x)
+        return agg_h, agg_x
+
+
+class EGNNEdgeKNNPairs(nn.Module):
+    """EGNN edge math over a kNN pair list anchored at one node set.
+
+    For knn-built kl edges (each keypoint -> its kl_k nearest ligand atoms,
+    dynamics.py:400-404) the true edge count is K*kl_k, ~10x smaller than
+    the dense K x Nl grid. Both kl and its reverse lk live on the SAME
+    (B, K, k) structure of ligand indices:
+      * anchor_is_src=True  (kl): anchor (kp) sends to the gathered nodes;
+        aggregation scatters to the gathered side via a one-hot matmul
+        (tiny: (B, K*k, N) x (B, K*k, H)).
+      * anchor_is_src=False (lk): gathered nodes send to the anchor;
+        aggregation is a masked sum over the k axis.
+    Identical parameter layout to EGNNEdgeDense (swap-in replacement).
+    """
+
+    hidden_size: int
+    anchor_is_src: bool
+    use_tanh: bool = False
+    coords_range: float = 10.0
+    dtype: str = "float32"
+
+    _linear_params = EGNNEdgeDense._linear_params
+    _first_layer_params = EGNNEdgeDense._first_layer_params
+    edge_feat_size: int = 0  # consumed by _first_layer_params
+
+    @nn.compact
+    def __call__(
+        self,
+        h_anchor: jnp.ndarray,  # (B, K, F)
+        h_other: jnp.ndarray,  # (B, N, F)
+        x_anchor: jnp.ndarray,  # (B, K, 3)
+        x_other: jnp.ndarray,  # (B, N, 3)
+        idx: jnp.ndarray,  # (B, K, k) indices into the other set
+        valid: jnp.ndarray,  # (B, K, k)
+    ):
+        f_in = h_anchor.shape[-1]
+        h = self.hidden_size
+        cd = jnp.dtype(self.dtype)
+        b, K, k = idx.shape
+        n_other = h_other.shape[1]
+
+        e_ws, e_wd, e_wdij, e_b = self._first_layer_params("edge", f_in, h)
+        l2_w, l2_b = self._linear_params("edge_lin2", h, h)
+        at_w, at_b = self._linear_params("attn", h, 1)
+        c_ws, c_wd, c_wdij, c_b = self._first_layer_params("coord", f_in, h)
+        c2_w, c2_b = self._linear_params("coord_lin2", h, h)
+        w_out = self.param("coord_out_w", xavier_uniform_scaled(0.001), (h, 1))
+
+        h_g = jnp.take_along_axis(h_other[:, :, None, :], idx[..., None], axis=1)  # (B,K,k,F)
+        x_g = jnp.take_along_axis(x_other[:, :, None, :], idx[..., None], axis=1)  # (B,K,k,3)
+
+        if self.anchor_is_src:
+            diff = x_anchor[:, :, None, :] - x_g  # x_src - x_dst
+            w_anchor, w_gathered = e_ws, e_wd
+            cw_anchor, cw_gathered = c_ws, c_wd
+        else:
+            diff = x_g - x_anchor[:, :, None, :]
+            w_anchor, w_gathered = e_wd, e_ws
+            cw_anchor, cw_gathered = c_wd, c_ws
+
+        diff = jnp.where(valid[..., None], diff, 0.0)
+        dij = jnp.linalg.norm(diff + 1e-30, axis=-1, keepdims=True)
+        x_unit = diff / (dij + 1.0)
+
+        def preact(wa, wg, wdij, bias):
+            return (
+                (h_anchor.astype(cd) @ wa.astype(cd))[:, :, None, :]
+                + h_g.astype(cd) @ wg.astype(cd)
+                + dij.astype(cd) * wdij.astype(cd)
+                + bias.astype(cd)
+            )
+
+        m = nn.silu(preact(w_anchor, w_gathered, e_wdij[0][None, None, None], e_b))
+        m = nn.silu(m @ l2_w.astype(cd) + l2_b.astype(cd))
+        gate = nn.sigmoid(m @ at_w.astype(cd) + at_b.astype(cd))
+        msg_h = (m * gate) * valid[..., None].astype(m.dtype)
+
+        c = nn.silu(preact(cw_anchor, cw_gathered, c_wdij[0][None, None, None], c_b))
+        c = nn.silu(c @ c2_w.astype(cd) + c2_b.astype(cd))
+        scalar = (c @ w_out.astype(c.dtype)).astype(jnp.float32)
+        if self.use_tanh:
+            msg_x = jnp.tanh(scalar) * x_unit * self.coords_range
+        else:
+            msg_x = scalar * x_unit
+        msg_x = msg_x * valid[..., None]
+
+        if self.anchor_is_src:
+            # scatter to the gathered (other) side via one-hot matmul
+            onehot = (jax.nn.one_hot(idx, n_other, dtype=msg_h.dtype)
+                      * valid[..., None].astype(msg_h.dtype)).reshape(b, K * k, n_other)
+            agg_h = jnp.einsum("ben,beh->bnh", onehot, msg_h.reshape(b, K * k, h),
+                               preferred_element_type=jnp.float32)
+            agg_x = jnp.einsum("ben,bec->bnc", onehot.astype(jnp.float32),
+                               msg_x.reshape(b, K * k, 3))
+            return agg_h, agg_x
+        agg_h = jnp.sum(msg_h.astype(jnp.float32), axis=2)
+        agg_x = jnp.sum(msg_x, axis=2)
         return agg_h, agg_x
 
 
