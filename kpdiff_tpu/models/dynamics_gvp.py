@@ -23,6 +23,7 @@ from kpdiff_tpu.models.gvp import (
     GVP,
     GVPChain,
     GVPEdgeMessagesDense,
+    GVPEdgeMessagesNbr,
     GVPLayerNorm,
     _update_specs,
     gvp_dropout,
@@ -58,7 +59,7 @@ class GVPMultiEdgeConvDense(nn.Module):
             src, ename, dst = etype
             h_s, x_s, v_s = node_data[src]
             h_d, x_d, v_d = node_data[dst]
-            ds, dv = GVPEdgeMessagesDense(
+            common = dict(
                 scalar_size=self.scalar_size,
                 vector_size=self.vector_size,
                 n_message_gvps=self.n_message_gvps,
@@ -67,7 +68,13 @@ class GVPMultiEdgeConvDense(nn.Module):
                 agg=agg,
                 dtype=self.dtype,
                 name=f"message_{ename}",
-            )(h_s, v_s, x_s, h_d, v_d, x_d, adj[ename])
+            )
+            if isinstance(adj[ename], tuple):
+                # destination-major neighbor list (all-atom kk at pocket scale)
+                idx, valid = adj[ename]
+                ds, dv = GVPEdgeMessagesNbr(**common)(h_s, v_s, x_s, h_d, v_d, x_d, idx, valid)
+            else:
+                ds, dv = GVPEdgeMessagesDense(**common)(h_s, v_s, x_s, h_d, v_d, x_d, adj[ename])
             agg_s[dst] = agg_s[dst] + ds
             agg_v[dst] = agg_v[dst] + dv
 
@@ -81,7 +88,9 @@ class GVPMultiEdgeConvDense(nn.Module):
                 n_edges = 0.0
                 for etype in self.etypes:
                     if etype[2] == ntype:
-                        n_edges = n_edges + jnp.sum(adj[etype[1]], axis=(1, 2)).astype(jnp.float32)
+                        a = adj[etype[1]]
+                        a = a[1] if isinstance(a, tuple) else a
+                        n_edges = n_edges + jnp.sum(a, axis=(1, 2)).astype(jnp.float32)
                 norm = (n_edges / n_nodes + 1.0)[:, None, None]
             else:
                 norm = float(self.message_norm)
@@ -162,6 +171,7 @@ class GVPDynamics(nn.Module):
     n_noise_gvps: int = 3
     dropout: float = 0.0
     compute_dtype: str = "float32"
+    kk_layout: str = "dense"  # 'dense' | 'nbr' (all-atom pocket-scale keypoints)
 
     NO_KP_EDGES = (("lig", "ll", "lig"), ("kp", "kl", "lig"))
     KP_EDGES = NO_KP_EDGES + (("lig", "lk", "kp"), ("kp", "kk", "kp"))
