@@ -171,7 +171,12 @@ class PaddedLoader:
         max_fake_atom_frac: float = 0.0,
         seed: int = 0,
         drop_last: bool = False,
+        lig_buckets: Optional[List[int]] = None,
     ):
+        """lig_buckets: optional ascending ligand-size buckets (e.g. [16,32,48]);
+        each complex is padded to the smallest bucket that fits, cutting the
+        dense pair-grid waste for small ligands (SURVEY.md §7.1 point 2).
+        One jit specialization per bucket. None -> single capacity pad.n_lig."""
         self.ds = dataset
         self.pad = pad
         self.batch_size = batch_size
@@ -181,29 +186,47 @@ class PaddedLoader:
         self.max_fake_atom_frac = max_fake_atom_frac
         self.rng = np.random.default_rng(seed)
         self.drop_last = drop_last
+        self.lig_buckets = sorted(lig_buckets) if lig_buckets else None
+        if self.lig_buckets and self.lig_buckets[-1] != pad.n_lig:
+            raise ValueError("largest lig bucket must equal pad.n_lig")
         self.n_dropped = 0
         n_lig_feat = dataset.lig_feat.shape[1] + (1 if max_fake_atom_frac > 0 else 0)
         self.n_lig_feat = n_lig_feat
 
+    def _bucket_pad(self, n_lig: int) -> Optional[PaddingConfig]:
+        if not self.lig_buckets:
+            return self.pad
+        for b in self.lig_buckets:
+            if n_lig <= b:
+                import dataclasses
+
+                return dataclasses.replace(self.pad, n_lig=b)
+        return None
+
     def epoch(self) -> Iterator[PaddedComplex]:
         order = self.rng.permutation(len(self.ds))
-        buf: List[Dict[str, np.ndarray]] = []
+        bufs: Dict[int, List[Dict[str, np.ndarray]]] = {}
         for i in order:
-            padded = pad_item(
-                self.ds.get(int(i)), self.pad, self.max_fake_atom_frac, self.rng, self.n_lig_feat
-            )
+            item = self.ds.get(int(i))
+            pad = self._bucket_pad(item["lig_pos"].shape[0])
+            if pad is None:
+                self.n_dropped += 1
+                continue
+            padded = pad_item(item, pad, self.max_fake_atom_frac, self.rng, self.n_lig_feat)
             if padded is None:
                 self.n_dropped += 1
                 continue
+            buf = bufs.setdefault(pad.n_lig, [])
             buf.append(padded)
             if len(buf) == self.batch_size:
                 yield self._collate(buf)
-                buf = []
-        if buf and not self.drop_last:
-            # repeat-pad the final partial batch to keep shapes static
-            while len(buf) < self.batch_size:
-                buf.append({k: np.zeros_like(v) if k.endswith("mask") else v for k, v in buf[-1].items()})
-            yield self._collate(buf)
+                bufs[pad.n_lig] = []
+        for buf in bufs.values():
+            if buf and not self.drop_last:
+                # repeat-pad the final partial batch to keep shapes static
+                while len(buf) < self.batch_size:
+                    buf.append({k: np.zeros_like(v) if k.endswith("mask") else v for k, v in buf[-1].items()})
+                yield self._collate(buf)
 
     def _collate(self, items: List[Dict[str, np.ndarray]]) -> PaddedComplex:
         stacked = {k: np.stack([it[k] for it in items]) for k in items[0]}
