@@ -23,6 +23,11 @@ BASELINE_SEC_PER_LIGAND = 1.0  # assumed A100 torch reference; see note above
 
 def main():
     import jax
+
+    # persistent compilation cache: the 1000-step scan costs ~10 min to
+    # compile on the remote-TPU toolchain; cache makes reruns instant
+    jax.config.update("jax_compilation_cache_dir", "/tmp/kpdiff_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
     import jax.numpy as jnp
 
     from kpdiff_tpu.config import PaddingConfig, load_config, model_from_config
