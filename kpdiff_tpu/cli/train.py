@@ -156,6 +156,10 @@ def main(argv=None):
     test_log = MetricsLog(run_dir / "test_metrics.pkl")
     ckpt_dir = run_dir / "checkpoints"
 
+    # optional wandb (reference train.py:369-376,594-601); silently disabled
+    # when the package is absent or mode == disabled
+    wandb_run = _init_wandb(config)
+
     # in-training molecule-quality analyzer (reference ModelAnalyzer,
     # train.py:555-572) — sampled at sample_interval fractional epochs
     from kpdiff_tpu.analysis.analyzer import ModelAnalyzer
@@ -199,6 +203,8 @@ def main(argv=None):
                 row = {k_: float(v) for k_, v in metrics.items()}
                 row["epoch"] = epoch_exact
                 train_log.append(**row)
+                if wandb_run:
+                    wandb_run.log({f"train_{k_}": v for k_, v in row.items()}, step=int(state.step))
                 print(
                     f"epoch {epoch_exact:7.2f} step {int(state.step):6d} "
                     f"l2 {row['l2']:.4f} pos {row['pos']:.4f} feat {row['feat']:.4f} "
@@ -239,6 +245,19 @@ def main(argv=None):
     save_checkpoint(ckpt_dir, state)
     print(f"done at step {int(state.step)}; final checkpoint saved to {ckpt_dir}", flush=True)
     return run_dir, state
+
+
+def _init_wandb(config):
+    wb_cfg = config.get("wandb", {})
+    init_kwargs = dict(wb_cfg.get("init_kwargs", {}) or {})
+    if init_kwargs.get("mode", "disabled") == "disabled":
+        return None
+    try:
+        import wandb
+    except ImportError:
+        print("wandb not installed; metrics go to pickle logs only", flush=True)
+        return None
+    return wandb.init(config=config, **init_kwargs)
 
 
 def evaluate(model, params, test_loader, rng):
