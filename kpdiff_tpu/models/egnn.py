@@ -282,6 +282,9 @@ class EGNNEdgeNbrList(nn.Module):
     edge_feat_size: int = 0
     dtype: str = "float32"
 
+    _linear_params = EGNNEdgeDense._linear_params
+    _first_layer_params = EGNNEdgeDense._first_layer_params
+
     @nn.compact
     def __call__(
         self,
@@ -295,6 +298,15 @@ class EGNNEdgeNbrList(nn.Module):
     ):
         f_in = h_src.shape[-1]
         h = self.hidden_size
+        cd = jnp.dtype(self.dtype)
+
+        e_ws, e_wd, e_wdij, e_b = self._first_layer_params("edge", f_in, h)
+        l2_w, l2_b = self._linear_params("edge_lin2", h, h)
+        at_w, at_b = self._linear_params("attn", h, 1)
+        if self.compute_coord:
+            c_ws, c_wd, c_wdij, c_b = self._first_layer_params("coord", f_in, h)
+            c2 = [self._linear_params(f"coord_lin{i + 2}", h, h) for i in range(self.coord_hidden_layers - 1)]
+            w_out = self.param("coord_out_w", xavier_uniform_scaled(0.001), (h, 1))
 
         h_nbr = jnp.take_along_axis(h_src[:, :, None, :], nbr_idx[..., None], axis=1)  # (B,Nd,K,F)
         x_nbr = jnp.take_along_axis(x_src[:, :, None, :], nbr_idx[..., None], axis=1)  # (B,Nd,K,3)
@@ -303,19 +315,7 @@ class EGNNEdgeNbrList(nn.Module):
         dij = jnp.linalg.norm(diff + 1e-30, axis=-1, keepdims=True)
         x_unit = diff / (dij + 1.0)
 
-        def pair_preact(name):
-            w_s = self.param(f"{name}_w_src", nn.initializers.variance_scaling(1 / 3, "fan_in", "uniform"), (f_in, h))
-            w_d = self.param(f"{name}_w_dst", nn.initializers.variance_scaling(1 / 3, "fan_in", "uniform"), (f_in, h))
-            w_dij = self.param(f"{name}_w_dij", nn.initializers.variance_scaling(1 / 3, "fan_in", "uniform"), (1 + self.edge_feat_size, h))
-            fan_in = 2 * f_in + 1 + self.edge_feat_size
-            b = self.param(
-                f"{name}_b",
-                lambda k, s: jnp.asarray(
-                    nn.initializers.uniform(scale=2.0)(k, s) - 1.0, jnp.float32
-                ) / jnp.sqrt(jnp.asarray(fan_in, jnp.float32)),
-                (h,),
-            )
-            cd = jnp.dtype(self.dtype)
+        def pair_preact(w_s, w_d, w_dij, b):
             scalars = dij if edge_feat is None else jnp.concatenate([dij, edge_feat], axis=-1)
             return (
                 h_nbr.astype(cd) @ w_s.astype(cd)
@@ -324,9 +324,9 @@ class EGNNEdgeNbrList(nn.Module):
                 + b.astype(cd)
             )
 
-        m = nn.silu(pair_preact("edge"))
-        m = nn.silu(TorchLinear(h, dtype=self.dtype, name="edge_lin2")(m))
-        gate = nn.sigmoid(TorchLinear(1, dtype=self.dtype, name="attn")(m))
+        m = nn.silu(pair_preact(e_ws, e_wd, e_wdij, e_b))
+        m = nn.silu(m @ l2_w.astype(cd) + l2_b.astype(cd))
+        gate = nn.sigmoid(m @ at_w.astype(cd) + at_b.astype(cd))
         msg_h = m * gate
 
         valid_f = nbr_valid[..., None].astype(msg_h.dtype)
@@ -335,10 +335,9 @@ class EGNNEdgeNbrList(nn.Module):
         if not self.compute_coord:
             return agg_h, jnp.zeros_like(x_dst)
 
-        c = nn.silu(pair_preact("coord"))
-        for i in range(self.coord_hidden_layers - 1):
-            c = nn.silu(TorchLinear(h, dtype=self.dtype, name=f"coord_lin{i + 2}")(c))
-        w_out = self.param("coord_out_w", xavier_uniform_scaled(0.001), (h, 1))
+        c = nn.silu(pair_preact(c_ws, c_wd, c_wdij, c_b))
+        for cw, cb in c2:
+            c = nn.silu(c @ cw.astype(cd) + cb.astype(cd))
         scalar = (c @ w_out.astype(c.dtype)).astype(jnp.float32)
         if self.use_tanh:
             msg_x = jnp.tanh(scalar) * x_unit * self.coords_range

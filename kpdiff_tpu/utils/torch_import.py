@@ -87,6 +87,73 @@ def convert_egnn_dynamics_state_dict(
     return out
 
 
+def convert_egnn_encoder_state_dict(
+    sd: Dict[str, np.ndarray],
+    n_convs: int,
+    hidden: int,
+    out_feat: int,
+    in_feat: int,
+    use_sameres_feat: bool,
+    fix_pos: bool,
+    norm: bool,
+) -> Dict:
+    """Reference ReceptorEncoder state_dict -> params['encoder'] tree
+    (receptor_encoder.py:381-555 module structure)."""
+    E = 1 if use_sameres_feat else 0
+    out: Dict = {}
+
+    for i in range(n_convs):
+        base = f"rec_convs.{i}"
+        F = in_feat if i == 0 else hidden
+        conv: Dict = {}
+        e: Dict = {}
+        w1 = np.asarray(sd[f"{base}.edge_mlp.0.weight"])  # (H, 2F+1+E)
+        e["edge_w_src"] = _t(w1[:, :F])
+        e["edge_w_dst"] = _t(w1[:, F : 2 * F])
+        e["edge_w_dij"] = _t(w1[:, 2 * F :])
+        e["edge_b"] = np.asarray(sd[f"{base}.edge_mlp.0.bias"])
+        e["edge_lin2_w"] = _t(sd[f"{base}.edge_mlp.2.weight"])
+        e["edge_lin2_b"] = np.asarray(sd[f"{base}.edge_mlp.2.bias"])
+        e["attn_w"] = _t(sd[f"{base}.soft_attention.0.weight"])
+        e["attn_b"] = np.asarray(sd[f"{base}.soft_attention.0.bias"])
+        if not fix_pos:
+            c1 = np.asarray(sd[f"{base}.coord_mlp.0.weight"])
+            e["coord_w_src"] = _t(c1[:, :F])
+            e["coord_w_dst"] = _t(c1[:, F : 2 * F])
+            e["coord_w_dij"] = _t(c1[:, 2 * F :])
+            e["coord_b"] = np.asarray(sd[f"{base}.coord_mlp.0.bias"])
+            e["coord_out_w"] = _t(sd[f"{base}.coord_mlp.2.weight"])
+        conv["edge_rr"] = e
+        conv["node_mlp"] = {
+            f"lin{j}": {"kernel": _t(sd[f"{base}.node_mlp.{k}.weight"]),
+                        "bias": np.asarray(sd[f"{base}.node_mlp.{k}.bias"])}
+            for j, k in enumerate((0, 2))
+        }
+        if norm:
+            conv["LayerNorm_0"] = {
+                "scale": np.asarray(sd[f"{base}.layer_norm.weight"]),
+                "bias": np.asarray(sd[f"{base}.layer_norm.bias"]),
+            }
+        out[f"rec_conv{i}"] = conv
+
+    out["keypoint_embedding"] = {
+        "kernel": _t(sd["keypoint_embedding.0.weight"]),
+        "bias": np.asarray(sd["keypoint_embedding.0.bias"]),
+    }
+    out["rk_fc_src"] = {"kernel": _t(sd["rec_kp_conv.fc_src.weight"])}
+    out["rk_fc_dst"] = {"kernel": _t(sd["rec_kp_conv.fc_dst.weight"])}
+    out["kp_feature_mlp"] = {
+        "kernel": _t(sd["rec_kp_conv.kp_feature_mlp.0.weight"]),
+        "bias": np.asarray(sd["rec_kp_conv.kp_feature_mlp.0.bias"]),
+    }
+    if norm:
+        out["kp_feature_norm"] = {
+            "scale": np.asarray(sd["rec_kp_conv.layer_norm.weight"]),
+            "bias": np.asarray(sd["rec_kp_conv.layer_norm.bias"]),
+        }
+    return out
+
+
 def convert_reference_checkpoint(sd: Dict[str, np.ndarray], model) -> Dict:
     """Full state_dict -> our params for fixed-encoder EGNN models.
 
@@ -106,5 +173,16 @@ def convert_reference_checkpoint(sd: Dict[str, np.ndarray], model) -> Dict:
         )
     }
     if cfg.rec_encoder_type == "learned":
-        raise NotImplementedError("learned-encoder import: follow-up (same recipe)")
+        enc_sd = {k[len("rec_encoder."):]: v for k, v in sd.items() if k.startswith("rec_encoder.")}
+        enc = cfg.rec_encoder
+        params["encoder"] = convert_egnn_encoder_state_dict(
+            enc_sd,
+            n_convs=enc.get("n_convs", 6),
+            hidden=enc.get("hidden_n_node_feat", 256),
+            out_feat=enc.get("out_n_node_feat", 256),
+            in_feat=enc.get("in_n_node_feat", 10),
+            use_sameres_feat=enc.get("use_sameres_feat", False),
+            fix_pos=enc.get("fix_pos", False),
+            norm=enc.get("norm", False),
+        )
     return params
