@@ -36,7 +36,29 @@ def parse_args(argv=None):
     p.add_argument("--dataset_size", type=int, default=None)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--n_devices", type=int, default=0, help="0 = all visible devices")
+    p.add_argument(
+        "--set", action="append", default=[], metavar="SECTION.KEY=VALUE",
+        help="override any nested config key (replaces the reference's ~50 "
+             "per-key sweep flags, train.py:31-306), e.g. --set dynamics.n_layers=4",
+    )
     return p.parse_args(argv)
+
+
+def apply_overrides(config, overrides):
+    import ast
+
+    for ov in overrides:
+        path, _, raw = ov.partition("=")
+        keys = path.strip().split(".")
+        node = config
+        for k in keys[:-1]:
+            node = node.setdefault(k, {})
+        try:
+            value = ast.literal_eval(raw)
+        except (ValueError, SyntaxError):
+            value = raw
+        node[keys[-1]] = value
+    return config
 
 
 def main(argv=None):
@@ -67,6 +89,8 @@ def main(argv=None):
         results_dir = Path(config.get("experiment", {}).get("results_dir", "runs/"))
         run_dir = results_dir / f"{name}_{time.strftime('%Y%m%d_%H%M%S')}_{uuid.uuid4().hex[:4]}"
         run_dir.mkdir(parents=True, exist_ok=True)
+
+    config = apply_overrides(config, args.set)
 
     tr = config.get("training", {})
     if args.epochs is not None:
@@ -197,6 +221,15 @@ def main(argv=None):
                 batch = shard_batch_pytree(batch, mesh)
             rng, k = jax.random.split(rng)
             state, metrics = step_fn(state, k, batch)
+
+            # failure detection (SURVEY §5.3 gap): a non-finite loss halts
+            # training with a checkpoint instead of silently corrupting the run
+            if not np.isfinite(float(metrics["l2"])):
+                save_checkpoint(ckpt_dir, state, step=int(state.step))
+                raise RuntimeError(
+                    f"non-finite loss at step {int(state.step)} "
+                    f"(l2={float(metrics['l2'])}); checkpoint saved to {ckpt_dir}"
+                )
 
             if epoch_exact - last_metrics_marker >= metrics_interval:
                 last_metrics_marker = epoch_exact
