@@ -41,6 +41,9 @@ def parse_args(argv=None):
     p.add_argument("--max_tries", type=int, default=3)
     p.add_argument("--avg_validity", type=float, default=0.85)
     p.add_argument("--use_ref_lig_com", action="store_true")
+    p.add_argument("--ligand_size", type=str, default="ref",
+                   help="'ref' (reference ligand count, test.py behavior), 'random' "
+                        "(joint size distribution, sample_random_sizes equivalent), or an int")
     p.add_argument("--visualize", action="store_true")
     p.add_argument("--frames_every", type=int, default=50)
     p.add_argument("--seed", type=int, default=0)
@@ -100,15 +103,41 @@ def main(argv=None):
         min(len(ds), args.dataset_size or len(ds))
     )
 
+    size_dist = None
+    if args.ligand_size == "random":
+        from kpdiff_tpu.models.size_dist import LigandSizeDistribution
+
+        try:
+            size_dist = LigandSizeDistribution(Path(config["dataset"]["location"]))
+        except ValueError:
+            size_dist = LigandSizeDistribution("/root/reference/data/bindingmoad_processed")
+    rng_np = np.random.default_rng(args.seed + 1)
+
     rng = jax.random.key(args.seed)
     for i in idxs:
         t0 = time.time()
         item = ds.get(int(i))
-        padded = pad_item(item, pad, n_lig_feat_out=n_lig_feat)
-        if padded is None:
+
+        if args.ligand_size == "ref":
+            sizes = [item["lig_pos"].shape[0]] * batch
+        elif args.ligand_size == "random":
+            sizes = size_dist.sample(np.array([item["rec_pos"].shape[0]]), batch, rng_np)[0]
+        else:
+            sizes = [int(args.ligand_size)] * batch
+        sizes = np.clip(np.asarray(sizes), 2, pad.n_lig)
+
+        items = []
+        for n in sizes:
+            it = dict(item)
+            it["lig_pos"] = np.zeros((int(n), 3), np.float32)
+            it["lig_feat"] = np.zeros((int(n), item["lig_feat"].shape[1]), np.float32)
+            padded = pad_item(it, pad, n_lig_feat_out=n_lig_feat)
+            if padded is None:
+                break
+            items.append(padded)
+        if len(items) < batch:
             print(f"pocket {i}: exceeds padding capacity, skipped", flush=True)
             continue
-        items = [padded] * batch
         cpx = _to_complex(items, pad, model, kp_vec_dim)
 
         if args.use_ref_lig_com:
@@ -147,6 +176,18 @@ def main(argv=None):
         pdir.mkdir(parents=True, exist_ok=True)
         write_sdf([m.to_sdf_mol(title=f"pocket{i}_sample{j}") for j, m in enumerate(mols)], pdir / "raw_ligands.sdf")
         _write_pocket_pdb(item, pdir / "pocket.pdb")
+        # copy original receptor/ligand files when available (reference
+        # test.py writes receptor.pdb + reference_files/)
+        rec_file, lig_file = ds.get_files(int(i)) if hasattr(ds, "get_files") else (None, None)
+        if rec_file and Path(rec_file).exists():
+            import shutil
+
+            ref_dir = pdir / "reference_files"
+            ref_dir.mkdir(exist_ok=True)
+            shutil.copy(rec_file, pdir / "receptor.pdb")
+            shutil.copy(rec_file, ref_dir / Path(rec_file).name)
+            if lig_file and Path(str(lig_file)).exists():
+                shutil.copy(lig_file, ref_dir / Path(lig_file).name)
         if kp_out is not None and model.cfg.rec_encoder_type == "learned":
             kx, km = kp_out
             write_xyz(kx[0][km[0]], ["C"] * int(km[0].sum()), pdir / "keypoints.xyz")
