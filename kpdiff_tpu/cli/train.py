@@ -211,8 +211,10 @@ def main(argv=None):
     epochs = tr.get("epochs", 3)
     t0 = time.time()
     done = False
+    from kpdiff_tpu.data.prefetch import prefetch
+
     while not done:
-        for batch in train_loader.epoch():
+        for batch in prefetch(train_loader.epoch(), depth=2):
             epoch_exact = float(state.step) / iters_per_epoch
             if epoch_exact >= epochs:
                 done = True

@@ -47,3 +47,27 @@ def test_train_resume_continues_step_count(tmp_path):
                                    "--epochs", "2", "--n_devices", "1"])
     assert run_dir2 == run_dir
     assert int(state2.step) > step1
+
+
+def test_prefetcher_yields_all_and_propagates_errors():
+    from kpdiff_tpu.data.prefetch import prefetch
+
+    assert list(prefetch(range(10))) == list(range(10))
+
+    def gen():
+        yield 1
+        raise ValueError("boom")
+
+    import pytest
+
+    it = prefetch(gen())
+    assert next(it) == 1
+    with pytest.raises(ValueError):
+        list(it)
+
+
+def test_process_local_batch_slice():
+    from kpdiff_tpu.parallel.distributed import process_local_batch_slice
+
+    s = process_local_batch_slice(32)  # single process -> full batch
+    assert s == slice(0, 32)
