@@ -154,24 +154,105 @@ def convert_egnn_encoder_state_dict(
     return out
 
 
+def _gvp_params(sd: Dict[str, np.ndarray], prefix: str) -> Dict:
+    """One reference GVP module (gvp.py:43-87: Wh/Wu plain Parameters in
+    (in, out) orientation; to_feats_out + scalar_to_vector_gates are torch
+    Linears, transposed)."""
+    return {
+        "Wh": np.asarray(sd[f"{prefix}.Wh"]),
+        "Wu": np.asarray(sd[f"{prefix}.Wu"]),
+        "to_feats_out": {
+            "kernel": _t(sd[f"{prefix}.to_feats_out.0.weight"]),
+            "bias": np.asarray(sd[f"{prefix}.to_feats_out.0.bias"]),
+        },
+        "scalar_to_vector_gates": {
+            "kernel": _t(sd[f"{prefix}.scalar_to_vector_gates.weight"]),
+            "bias": np.asarray(sd[f"{prefix}.scalar_to_vector_gates.bias"]),
+        },
+    }
+
+
+def _feat_norm(sd, prefix):
+    return {"LayerNorm_0": {"scale": np.asarray(sd[f"{prefix}.feat_norm.weight"]),
+                            "bias": np.asarray(sd[f"{prefix}.feat_norm.bias"])}}
+
+
+def convert_gvp_dynamics_state_dict(
+    sd: Dict[str, np.ndarray],
+    n_convs: int,
+    update_kp: bool,
+    n_message_gvps: int,
+    n_update_gvps: int,
+    n_noise_gvps: int,
+) -> Dict:
+    """Reference LigRecDynamicsGVP state_dict -> params['dynamics'] tree
+    (module structure: dynamics_gvp.py:104-147; conv layers under
+    noise_predictor.conv_layers, final block under
+    noise_predictor.noise_predictor)."""
+    out: Dict = {}
+    out["lig_enc"] = {"kernel": _t(sd["lig_encoder.0.weight"]), "bias": np.asarray(sd["lig_encoder.0.bias"])}
+    out["LayerNorm_0"] = {"scale": np.asarray(sd["lig_encoder.2.weight"]), "bias": np.asarray(sd["lig_encoder.2.bias"])}
+    out["kp_enc"] = {"kernel": _t(sd["kp_encoder.0.weight"]), "bias": np.asarray(sd["kp_encoder.0.bias"])}
+    out["LayerNorm_1"] = {"scale": np.asarray(sd["kp_encoder.2.weight"]), "bias": np.asarray(sd["kp_encoder.2.bias"])}
+
+    no_kp = [("lig", "ll", "lig"), ("kp", "kl", "lig")]
+    with_kp = no_kp + [("lig", "lk", "kp"), ("kp", "kk", "kp")]
+    for i in range(n_convs):
+        etypes = with_kp if (update_kp and i != n_convs - 1) else no_kp
+        base = f"noise_predictor.conv_layers.{i}"
+        conv: Dict = {}
+        for src, ename, dst in etypes:
+            key = f"{src}_{ename}_{dst}"
+            conv[f"message_{ename}"] = {"message": {
+                f"gvp{j}": _gvp_params(sd, f"{base}.edge_message_fns.{key}.{j}")
+                for j in range(n_message_gvps)
+            }}
+        for nt in sorted({e[2] for e in etypes}):
+            conv[f"update_{nt}"] = {f"gvp{j}": _gvp_params(sd, f"{base}.node_update_fns.{nt}.{j}")
+                                    for j in range(n_update_gvps)}
+            conv[f"msg_norm_{nt}"] = _feat_norm(sd, f"{base}.message_layer_norms.{nt}")
+            conv[f"upd_norm_{nt}"] = _feat_norm(sd, f"{base}.update_layer_norms.{nt}")
+        out[f"conv{i}"] = conv
+
+    npb = {f"gvp{j}": _gvp_params(sd, f"noise_predictor.noise_predictor.gvps.{j}") for j in range(n_noise_gvps)}
+    npb["to_scalar_output"] = {
+        "kernel": _t(sd["noise_predictor.noise_predictor.to_scalar_output.weight"]),
+        "bias": np.asarray(sd["noise_predictor.noise_predictor.to_scalar_output.bias"]),
+    }
+    out["noise_predictor"] = npb
+    return out
+
+
 def convert_reference_checkpoint(sd: Dict[str, np.ndarray], model) -> Dict:
     """Full state_dict -> our params for fixed-encoder EGNN models.
 
     `model` is a kpdiff_tpu KeypointDiffusion (for config introspection).
     """
     cfg = model.cfg
-    if cfg.architecture != "egnn":
-        raise NotImplementedError("GVP checkpoint import: follow-up (same recipe)")
     dyn_sd = {k[len("dynamics."):]: v for k, v in sd.items() if k.startswith("dynamics.")}
-    params = {
-        "dynamics": convert_egnn_dynamics_state_dict(
-            dyn_sd,
-            n_layers=cfg.dynamics.get("n_layers", 6),
-            update_kp_feat=cfg.dynamics.get("update_kp_feat", False),
-            rec_nf=cfg.rec_nf,
-            hidden_nf=cfg.dynamics.get("hidden_nf", 256),
-        )
-    }
+    if cfg.architecture == "egnn":
+        params = {
+            "dynamics": convert_egnn_dynamics_state_dict(
+                dyn_sd,
+                n_layers=cfg.dynamics.get("n_layers", 6),
+                update_kp_feat=cfg.dynamics.get("update_kp_feat", False),
+                rec_nf=cfg.rec_nf,
+                hidden_nf=cfg.dynamics.get("hidden_nf", 256),
+            )
+        }
+    else:
+        params = {
+            "dynamics": convert_gvp_dynamics_state_dict(
+                dyn_sd,
+                n_convs=cfg.dynamics.get("n_convs", 6),
+                update_kp=cfg.dynamics.get("update_kp", False),
+                n_message_gvps=cfg.dynamics.get("n_message_gvps", 3),
+                n_update_gvps=cfg.dynamics.get("n_update_gvps", 2),
+                n_noise_gvps=cfg.dynamics.get("n_noise_gvps", 3),
+            )
+        }
+    if cfg.rec_encoder_type == "learned" and cfg.architecture != "egnn":
+        raise NotImplementedError("GVP learned-encoder import: follow-up (same recipe)")
     if cfg.rec_encoder_type == "learned":
         enc_sd = {k[len("rec_encoder."):]: v for k, v in sd.items() if k.startswith("rec_encoder.")}
         enc = cfg.rec_encoder
