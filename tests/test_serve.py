@@ -1,0 +1,34 @@
+"""Serving API: load a trained run once, sample pockets programmatically."""
+import numpy as np
+import yaml
+
+from tests.test_cli import TINY_CONFIG, _write_synthetic_complex_pdb_sdf
+
+
+def test_keypoint_sampler(tmp_path):
+    from kpdiff_tpu.cli.train import main as train_main
+    from kpdiff_tpu.serve import KeypointSampler
+
+    cfg = dict(TINY_CONFIG)
+    cfg["experiment"] = {"name": "serve", "results_dir": str(tmp_path)}
+    cfg_path = tmp_path / "cfg.yml"
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    run_dir, _ = train_main(["--config", str(cfg_path), "--synthetic", "8", "--n_devices", "1"])
+
+    sampler = KeypointSampler(run_dir, batch_size=4, seed=0)
+
+    pdb_path, sdf_path = _write_synthetic_complex_pdb_sdf(tmp_path)
+    mols = sampler.sample_for_pocket(pdb_path, sdf_path, n_mols=4, ligand_size="ref")
+    assert isinstance(mols, list)
+    for m in mols:
+        assert m.n_atoms >= 1
+        assert np.all(np.isfinite(m.coords))
+
+    # array-level entry (no files)
+    rng = np.random.default_rng(0)
+    rec_pos = rng.normal(size=(24, 3)).astype(np.float32) * 4
+    rec_feat = np.zeros((24, 10), np.float32)
+    rec_feat[np.arange(24), rng.integers(0, 10, 24)] = 1
+    mols2 = sampler.sample_for_arrays(rec_pos, rec_feat, n_mols=4, ligand_size=6)
+    assert isinstance(mols2, list)
