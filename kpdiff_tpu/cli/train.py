@@ -16,7 +16,6 @@ Differences from the reference driver (train.py:31-648), by design:
 from __future__ import annotations
 
 import argparse
-import shutil
 import time
 import uuid
 from pathlib import Path

@@ -8,7 +8,6 @@ math over padded masked arrays.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Any, Dict, Optional, Tuple
 
 import jax

@@ -17,7 +17,7 @@ when update_kp_feat=True. Replicated deliberately; see models/egnn.py.
 """
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp

@@ -14,7 +14,7 @@ Differences from the EGNN dynamics worth noting:
 """
 from __future__ import annotations
 
-from typing import Dict, Tuple, Union
+from typing import Tuple, Union
 
 import flax.linen as nn
 import jax.numpy as jnp

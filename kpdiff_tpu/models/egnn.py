@@ -24,13 +24,13 @@ Faithfulness notes (executed-behavior parity with the reference):
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from kpdiff_tpu.models.nn import MLP, TorchLinear, xavier_uniform_scaled
+from kpdiff_tpu.models.nn import MLP, xavier_uniform_scaled
 
 
 class EGNNEdgeDense(nn.Module):

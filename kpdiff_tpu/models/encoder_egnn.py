@@ -21,7 +21,7 @@ Executed-behavior parity notes:
 """
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict
 
 import flax.linen as nn
 import jax.numpy as jnp
