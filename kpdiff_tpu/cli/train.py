@@ -82,14 +82,14 @@ def main(argv=None):
     if args.resume:
         run_dir = Path(args.resume)
         config = load_config(run_dir / "config.yml")
+        config = apply_overrides(config, args.set)
     else:
         config = load_config(args.config)
+        config = apply_overrides(config, args.set)  # before run_dir so experiment.* overrides apply
         name = config.get("experiment", {}).get("name", "run")
         results_dir = Path(config.get("experiment", {}).get("results_dir", "runs/"))
         run_dir = results_dir / f"{name}_{time.strftime('%Y%m%d_%H%M%S')}_{uuid.uuid4().hex[:4]}"
         run_dir.mkdir(parents=True, exist_ok=True)
-
-    config = apply_overrides(config, args.set)
 
     tr = config.get("training", {})
     if args.epochs is not None:
