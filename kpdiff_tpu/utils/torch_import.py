@@ -223,6 +223,50 @@ def convert_gvp_dynamics_state_dict(
     return out
 
 
+def convert_gvp_encoder_state_dict(
+    sd: Dict[str, np.ndarray],
+    n_rr_convs: int,
+    n_rk_convs: int,
+    n_message_gvps: int,
+    n_update_gvps: int,
+) -> Dict:
+    """Reference ReceptorEncoderGVP state_dict -> params['encoder'] tree
+    (receptor_encoder_gvp.py:97-211 module structure)."""
+    out: Dict = {}
+    out["scalar_embed"] = {
+        f"lin{i}": {"kernel": _t(sd[f"scalar_embed.{j}.weight"]), "bias": np.asarray(sd[f"scalar_embed.{j}.bias"])}
+        for i, j in enumerate((0, 2))
+    }
+    out["scalar_norm"] = {"scale": np.asarray(sd["scalar_norm.weight"]), "bias": np.asarray(sd["scalar_norm.bias"])}
+
+    def conv(prefix):
+        c: Dict = {}
+        c["edge"] = {"message": {f"gvp{j}": _gvp_params(sd, f"{prefix}.edge_message.{j}")
+                                 for j in range(n_message_gvps)}}
+        c["update"] = {f"gvp{j}": _gvp_params(sd, f"{prefix}.node_update.{j}") for j in range(n_update_gvps)}
+        c["message_norm"] = _feat_norm(sd, f"{prefix}.message_layer_norm")
+        c["update_norm"] = _feat_norm(sd, f"{prefix}.update_layer_norm")
+        return c
+
+    for i in range(n_rr_convs):
+        out[f"rr_conv{i}"] = conv(f"rr_conv_layers.{i}")
+    for i in range(n_rk_convs):
+        out[f"rk_conv{i}"] = conv(f"rk_conv_layers.{i}")
+
+    ki = "keypoint_initializer"
+    out["keypoint_embedding"] = {
+        "kernel": _t(sd[f"{ki}.keypoint_embedding.0.weight"]),
+        "bias": np.asarray(sd[f"{ki}.keypoint_embedding.0.bias"]),
+    }
+    out["keypoint_embedding_norm"] = {
+        "scale": np.asarray(sd[f"{ki}.keypoint_embedding.2.weight"]),
+        "bias": np.asarray(sd[f"{ki}.keypoint_embedding.2.bias"]),
+    }
+    out["src_net"] = {"kernel": _t(sd[f"{ki}.src_net.weight"])}
+    out["dst_net"] = {"kernel": _t(sd[f"{ki}.dst_net.weight"])}
+    return out
+
+
 def convert_reference_checkpoint(sd: Dict[str, np.ndarray], model) -> Dict:
     """Full state_dict -> our params for fixed-encoder EGNN models.
 
@@ -252,7 +296,15 @@ def convert_reference_checkpoint(sd: Dict[str, np.ndarray], model) -> Dict:
             )
         }
     if cfg.rec_encoder_type == "learned" and cfg.architecture != "egnn":
-        raise NotImplementedError("GVP learned-encoder import: follow-up (same recipe)")
+        enc_sd = {k[len("rec_encoder."):]: v for k, v in sd.items() if k.startswith("rec_encoder.")}
+        enc = cfg.rec_encoder
+        params["encoder"] = convert_gvp_encoder_state_dict(
+            enc_sd,
+            n_rr_convs=enc.get("n_rr_convs", 3),
+            n_rk_convs=enc.get("n_rk_convs", 2),
+            n_message_gvps=enc.get("n_message_gvps", 1),
+            n_update_gvps=enc.get("n_update_gvps", 1),
+        )
     if cfg.rec_encoder_type == "learned":
         enc_sd = {k[len("rec_encoder."):]: v for k, v in sd.items() if k.startswith("rec_encoder.")}
         enc = cfg.rec_encoder
