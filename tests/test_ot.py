@@ -94,3 +94,16 @@ def test_ot_loss_grad_flows_through_cost_only():
     g = jax.grad(lambda k: ot_loss(k, km, pts, pm, method="sinkhorn"))(kp)
     assert np.all(np.isfinite(np.asarray(g)))
     assert float(jnp.abs(g).max()) > 0
+
+
+def test_exact_plan_under_jit():
+    """pure_callback exact solver must work inside jit (loss path)."""
+    rng = np.random.default_rng(5)
+    kp = jnp.asarray(rng.normal(size=(2, 4, 3)).astype(np.float32))
+    pts = jnp.asarray(rng.normal(size=(2, 9, 3)).astype(np.float32))
+    km = jnp.ones((2, 4), bool)
+    pm = jnp.ones((2, 9), bool)
+    f = jax.jit(lambda k: ot_loss(k, km, pts, pm, method="exact"))
+    v1 = float(f(kp))
+    v2 = float(ot_loss(kp, km, pts, pm, method="exact"))
+    np.testing.assert_allclose(v1, v2, rtol=1e-6)
