@@ -35,6 +35,8 @@ def parse_args(argv=None):
     p.add_argument("--dataset_size", type=int, default=None)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--n_devices", type=int, default=0, help="0 = all visible devices")
+    p.add_argument("--profile_dir", type=str, default=None,
+                   help="write a jax.profiler device trace of steps 10-15 to this dir")
     p.add_argument(
         "--set", action="append", default=[], metavar="SECTION.KEY=VALUE",
         help="override any nested config key (replaces the reference's ~50 "
@@ -220,6 +222,13 @@ def main(argv=None):
                 break
             if mesh is not None:
                 batch = shard_batch_pytree(batch, mesh)
+            # optional device trace over a few steady-state steps (SURVEY §5.1)
+            if args.profile_dir and int(state.step) == 10:
+                jax.profiler.start_trace(args.profile_dir)
+            if args.profile_dir and int(state.step) == 15:
+                jax.profiler.stop_trace()
+                print(f"device trace written to {args.profile_dir}", flush=True)
+
             rng, k = jax.random.split(rng)
             state, metrics = step_fn(state, k, batch)
 
