@@ -156,13 +156,33 @@ class KeypointDiffusion:
         receptor_encoder.py:539-547 / receptor_encoder_fixed.py:41-45)."""
         if self.cfg.rec_encoder_type == "fixed":
             n_vec = self.cfg.rec_encoder.get("vector_size") if self.cfg.architecture == "gvp" else None
-            cpx = fixed_encode(cpx, n_vec_feats=n_vec)
+            sort = self.cfg.dynamics.get("kk_layout", "dense") == "block"
+            cpx = fixed_encode(cpx, n_vec_feats=n_vec, sort_spatial=sort)
         else:
             cpx = self.rec_encoder.apply({"params": params["encoder"]}, cpx)
         return cpx, self._kk_edges(cpx)
 
     def _kk_edges(self, cpx: PaddedComplex):
         layout = self.cfg.dynamics.get("kk_layout", "dense")
+        if layout == "block":
+            # banded block-dense adjacency over spatially sorted keypoints
+            # (gather-free all-atom path; radius = rr cutoff for fixed
+            # encoders, kk cutoff otherwise)
+            from kpdiff_tpu.ops.spatial import block_windows
+
+            r = self.cfg.graph_cutoffs["rr"] if self.cfg.rec_encoder_type == "fixed" else self.cfg.graph_cutoffs["kk"]
+            tile = int(self.cfg.dynamics.get("kk_block_size", 64))
+            xw = block_windows(cpx.kp_x, tile)  # (B, nt, 3T, 3)
+            mw = block_windows(cpx.kp_mask, tile)  # (B, nt, 3T)
+            b, nt, w = mw.shape
+            xt = cpx.kp_x.reshape(b, nt, tile, 3)
+            mt = cpx.kp_mask.reshape(b, nt, tile)
+            d2 = jnp.sum(jnp.square(xw[:, :, :, None, :] - xt[:, :, None, :, :]), axis=-1)
+            valid = mw[:, :, :, None] & mt[:, :, None, :]
+            # exclude self: dst j sits at window row tile + j
+            eye = jnp.zeros((w, tile), bool).at[jnp.arange(tile) + tile, jnp.arange(tile)].set(True)
+            adj = (d2 < float(r) ** 2) & valid & ~eye[None, None]
+            return ("block", adj)
         if self.cfg.rec_encoder_type == "fixed":
             return fixed_kk_edges(cpx, self.cfg.graph_cutoffs["rr"], layout=layout)
         from kpdiff_tpu.ops.neighbors import dense_radius_adjacency, radius_neighbor_list

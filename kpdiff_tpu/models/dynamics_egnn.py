@@ -87,7 +87,27 @@ class EGNNConvLayer(nn.Module):
                 agg_x["kp"] = agg_x["kp"] + dx
             else:
                 dense("lk", "lig", "kp", edges["lk"])
-            if self.kk_layout == "dense":
+            if self.kk_layout == "block":
+                # banded block-dense kk: static windows, dense tile pairs
+                from kpdiff_tpu.ops.spatial import block_windows
+
+                _, adj = edges["kk"]
+                b, nt, w, tile = adj.shape
+                K = nt * tile
+                F = h["kp"].shape[-1]
+                hw = block_windows(h["kp"], tile).reshape(b * nt, w, F)
+                xw = block_windows(x["kp"], tile).reshape(b * nt, w, 3)
+                ht = h["kp"].reshape(b * nt, tile, F)
+                xt = x["kp"].reshape(b * nt, tile, 3)
+                mod = EGNNEdgeDense(
+                    hidden_size=self.hidden_size, use_tanh=self.use_tanh,
+                    coords_range=10.0, coord_hidden_layers=2, dtype=self.dtype,
+                    name="edge_kk",
+                )
+                dh, dx = mod(hw, ht, xw, xt, adj.reshape(b * nt, w, tile))
+                agg_h["kp"] = agg_h["kp"] + dh.reshape(b, K, F)
+                agg_x["kp"] = agg_x["kp"] + dx.reshape(b, K, 3)
+            elif self.kk_layout == "dense":
                 dense("kk", "kp", "kp", edges["kk"])
             else:
                 idx, valid = edges["kk"]
@@ -199,6 +219,8 @@ class EGNNDynamics(nn.Module):
                 n_kp = jnp.maximum(jnp.sum(kp_mask, axis=1), 1)
                 if self.kk_layout == "dense":
                     e_kk = jnp.sum(edges["kk"], axis=(1, 2))
+                elif self.kk_layout == "block":
+                    e_kk = jnp.sum(edges["kk"][1], axis=(1, 2, 3))
                 else:
                     e_kk = jnp.sum(edges["kk"][1], axis=(1, 2))
                 e_kp = e_kl + e_kk  # lk edge count == kl edge count

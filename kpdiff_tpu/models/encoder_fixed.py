@@ -20,17 +20,26 @@ from kpdiff_tpu.ops.neighbors import dense_radius_adjacency, radius_neighbor_lis
 def fixed_encode(
     cpx: PaddedComplex,
     n_vec_feats: Optional[int] = None,
+    sort_spatial: bool = False,
 ) -> PaddedComplex:
-    """Copy pocket atoms into the keypoint slots."""
+    """Copy pocket atoms into the keypoint slots.
+
+    sort_spatial: order the keypoints along a Morton curve so the
+    block-dense kk layout (`kk_layout: block`) covers most radius edges
+    with banded tiles. Keypoints are a set — the permutation changes no
+    semantics elsewhere."""
+    kp_x, kp_h, kp_mask = cpx.rec_x, cpx.rec_h, cpx.rec_mask
+    if sort_spatial:
+        from kpdiff_tpu.ops.spatial import spatial_sort_permutation
+
+        perm = spatial_sort_permutation(kp_x, kp_mask)
+        kp_x = jnp.take_along_axis(kp_x, perm[..., None], axis=1)
+        kp_h = jnp.take_along_axis(kp_h, perm[..., None], axis=1)
+        kp_mask = jnp.take_along_axis(kp_mask, perm, axis=1)
     kp_v = None
     if n_vec_feats is not None:
-        kp_v = jnp.zeros((*cpx.rec_x.shape[:2], n_vec_feats, 3), cpx.rec_x.dtype)
-    return cpx.replace(
-        kp_x=cpx.rec_x,
-        kp_h=cpx.rec_h,
-        kp_mask=cpx.rec_mask,
-        kp_v=kp_v,
-    )
+        kp_v = jnp.zeros((*kp_x.shape[:2], n_vec_feats, 3), kp_x.dtype)
+    return cpx.replace(kp_x=kp_x, kp_h=kp_h, kp_mask=kp_mask, kp_v=kp_v)
 
 
 def fixed_kk_edges(cpx: PaddedComplex, rr_cutoff: float, layout: str = "dense", max_neighbors: int = 100):
