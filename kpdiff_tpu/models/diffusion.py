@@ -172,6 +172,10 @@ class KeypointDiffusion:
 
             r = self.cfg.graph_cutoffs["rr"] if self.cfg.rec_encoder_type == "fixed" else self.cfg.graph_cutoffs["kk"]
             tile = int(self.cfg.dynamics.get("kk_block_size", 64))
+            K_total = cpx.kp_x.shape[1]
+            tile = min(tile, K_total)
+            if K_total % tile:
+                tile = K_total  # single tile: window spans everything (exact)
             xw = block_windows(cpx.kp_x, tile)  # (B, nt, 3T, 3)
             mw = block_windows(cpx.kp_mask, tile)  # (B, nt, 3T)
             b, nt, w = mw.shape

@@ -69,7 +69,24 @@ class GVPMultiEdgeConvDense(nn.Module):
                 dtype=self.dtype,
                 name=f"message_{ename}",
             )
-            if isinstance(adj[ename], tuple):
+            if isinstance(adj[ename], tuple) and adj[ename][0] == "block":
+                # banded block-dense windows over spatially sorted keypoints
+                from kpdiff_tpu.ops.spatial import block_windows
+
+                blk = adj[ename][1]
+                b, nt, w, tile = blk.shape
+                K = nt * tile
+                S_, V_ = h_s.shape[-1], v_s.shape[-2]
+                hw = block_windows(h_s, tile).reshape(b * nt, w, S_)
+                xw = block_windows(x_s, tile).reshape(b * nt, w, 3)
+                vw = block_windows(v_s, tile).reshape(b * nt, w, V_, 3)
+                ht = h_d.reshape(b * nt, tile, S_)
+                xt = x_d.reshape(b * nt, tile, 3)
+                vt = v_d.reshape(b * nt, tile, V_, 3)
+                ds, dv = GVPEdgeMessagesDense(**common)(hw, vw, xw, ht, vt, xt, blk.reshape(b * nt, w, tile))
+                ds = ds.reshape(b, K, S_)
+                dv = dv.reshape(b, K, V_, 3)
+            elif isinstance(adj[ename], tuple):
                 # destination-major neighbor list (all-atom kk at pocket scale)
                 idx, valid = adj[ename]
                 ds, dv = GVPEdgeMessagesNbr(**common)(h_s, v_s, x_s, h_d, v_d, x_d, idx, valid)
@@ -89,8 +106,11 @@ class GVPMultiEdgeConvDense(nn.Module):
                 for etype in self.etypes:
                     if etype[2] == ntype:
                         a = adj[etype[1]]
-                        a = a[1] if isinstance(a, tuple) else a
-                        n_edges = n_edges + jnp.sum(a, axis=(1, 2)).astype(jnp.float32)
+                        if isinstance(a, tuple) and a[0] == "block":
+                            n_edges = n_edges + jnp.sum(a[1], axis=(1, 2, 3)).astype(jnp.float32)
+                        else:
+                            a = a[1] if isinstance(a, tuple) else a
+                            n_edges = n_edges + jnp.sum(a, axis=(1, 2)).astype(jnp.float32)
                 norm = (n_edges / n_nodes + 1.0)[:, None, None]
             else:
                 norm = float(self.message_norm)
@@ -171,7 +191,8 @@ class GVPDynamics(nn.Module):
     n_noise_gvps: int = 3
     dropout: float = 0.0
     compute_dtype: str = "float32"
-    kk_layout: str = "dense"  # 'dense' | 'nbr' (all-atom pocket-scale keypoints)
+    kk_layout: str = "dense"  # 'dense' | 'nbr' | 'block' (all-atom pocket-scale keypoints)
+    kk_block_size: int = 64   # tile size for the 'block' layout
 
     NO_KP_EDGES = (("lig", "ll", "lig"), ("kp", "kl", "lig"))
     KP_EDGES = NO_KP_EDGES + (("lig", "lk", "kp"), ("kp", "kk", "kp"))
