@@ -171,11 +171,9 @@ class KeypointDiffusion:
             from kpdiff_tpu.ops.spatial import block_windows
 
             r = self.cfg.graph_cutoffs["rr"] if self.cfg.rec_encoder_type == "fixed" else self.cfg.graph_cutoffs["kk"]
-            tile = int(self.cfg.dynamics.get("kk_block_size", 64))
-            K_total = cpx.kp_x.shape[1]
-            tile = min(tile, K_total)
-            if K_total % tile:
-                tile = K_total  # single tile: window spans everything (exact)
+            from kpdiff_tpu.ops.spatial import choose_tile
+
+            tile = choose_tile(cpx.kp_x.shape[1], int(self.cfg.dynamics.get("kk_block_size", 64)))
             xw = block_windows(cpx.kp_x, tile)  # (B, nt, 3T, 3)
             mw = block_windows(cpx.kp_mask, tile)  # (B, nt, 3T)
             b, nt, w = mw.shape

@@ -36,7 +36,12 @@ _NEG = -1e30
 
 
 class ReceptorConvLayer(nn.Module):
-    """One EGNN conv over rr edges (receptor_encoder.py:14-154)."""
+    """One EGNN conv over rr edges (receptor_encoder.py:14-154).
+
+    rr edges come either as a destination-major neighbor list
+    (("nbr", idx, valid)) or banded block-dense windows (("block", adj)) —
+    the two edge modules share one parameter scheme, so the layout is a
+    runtime choice, not a checkpoint format."""
 
     hidden_size: int
     out_size: int
@@ -47,8 +52,8 @@ class ReceptorConvLayer(nn.Module):
     edge_feat_size: int = 0
 
     @nn.compact
-    def __call__(self, h, x, mask, nbr_idx, nbr_valid, z, edge_feat=None):
-        agg_h, agg_x = EGNNEdgeNbrList(
+    def __call__(self, h, x, mask, rr_edges, z, edge_feat=None):
+        common = dict(
             hidden_size=self.hidden_size,
             use_tanh=self.use_tanh,
             coords_range=self.coords_range,
@@ -56,7 +61,26 @@ class ReceptorConvLayer(nn.Module):
             compute_coord=not self.fix_pos,
             edge_feat_size=self.edge_feat_size,
             name="edge_rr",
-        )(h, h, x, x, nbr_idx, nbr_valid, edge_feat)
+        )
+        if rr_edges[0] == "block":
+            from kpdiff_tpu.models.egnn import EGNNEdgeDense
+            from kpdiff_tpu.ops.spatial import block_windows
+
+            adj = rr_edges[1]  # (B, nt, 3T, T); edge_feat (B, nt, 3T, T, E)
+            b, nt, w, tile = adj.shape
+            N, F = h.shape[1], h.shape[-1]
+            hw = block_windows(h, tile).reshape(b * nt, w, F)
+            xw = block_windows(x, tile).reshape(b * nt, w, 3)
+            ef = None if edge_feat is None else edge_feat.reshape(b * nt, w, tile, -1)
+            agg_h, agg_x = EGNNEdgeDense(**common)(
+                hw, h.reshape(b * nt, tile, F), xw, x.reshape(b * nt, tile, 3),
+                adj.reshape(b * nt, w, tile), ef,
+            )
+            agg_h = agg_h.reshape(b, N, -1)
+            agg_x = agg_x.reshape(b, N, 3)
+        else:
+            _, nbr_idx, nbr_valid = rr_edges
+            agg_h, agg_x = EGNNEdgeNbrList(**common)(h, h, x, x, nbr_idx, nbr_valid, edge_feat)
 
         h_neigh = agg_h / z
         x_neigh = agg_x / z
@@ -91,6 +115,8 @@ class EGNNReceptorEncoder(nn.Module):
     n_kk_heads: int = 4
     graph_cutoffs: Dict[str, float] = None
     rr_max_neighbors: int = 100  # data-prep cap (pdbbind_processing.py:246)
+    rr_layout: str = "block"  # 'block' (spatial-sort banded dense; fast) | 'nbr' (reference-cap semantics)
+    rr_block_size: int = 64
 
     @nn.compact
     def __call__(self, cpx: PaddedComplex) -> PaddedComplex:
@@ -106,23 +132,53 @@ class EGNNReceptorEncoder(nn.Module):
         x0 = cpx.rec_x
         h = cpx.rec_h
         mask = cpx.rec_mask
+        res = cpx.rec_res_idx
 
-        # rr radius neighbor list (built at data-prep time in the reference,
-        # pdbbind_processing.py:246; rebuilt here on device at encode time)
-        rr_idx, rr_valid = radius_neighbor_list(
-            x0, mask, x0, mask, self.graph_cutoffs["rr"], self.rr_max_neighbors, exclude_self=True
-        )
+        # rr edge structure (built at data-prep time in the reference,
+        # pdbbind_processing.py:246; rebuilt here on device at encode time).
+        # 'block': spatially sort the pocket atoms (a set — safe) and use
+        # banded dense windows: TPU dynamic gathers are far slower than the
+        # extra dense FLOPs (see BASELINE.md all-atom ablation).
+        if self.rr_layout == "block":
+            from kpdiff_tpu.ops.spatial import block_windows, choose_tile, spatial_sort_permutation
 
-        edge_feat = None
-        if self.use_sameres_feat:
-            res = cpx.rec_res_idx
-            res_nbr = jnp.take_along_axis(res[:, :, None], rr_idx, axis=1)
-            edge_feat = (res_nbr == res[:, :, None]).astype(h.dtype)[..., None]  # (B,Nr,K,1)
+            perm = spatial_sort_permutation(x0, mask)
+            x0 = jnp.take_along_axis(x0, perm[..., None], axis=1)
+            h = jnp.take_along_axis(h, perm[..., None], axis=1)
+            mask = jnp.take_along_axis(mask, perm, axis=1)
+            res = jnp.take_along_axis(res, perm, axis=1)
+
+            tile = choose_tile(x0.shape[1], self.rr_block_size)
+            xw = block_windows(x0, tile)
+            mw = block_windows(mask, tile)
+            b_, nt, w = mw.shape
+            xt = x0.reshape(b_, nt, tile, 3)
+            mt = mask.reshape(b_, nt, tile)
+            d2 = jnp.sum(jnp.square(xw[:, :, :, None, :] - xt[:, :, None, :, :]), axis=-1)
+            valid = mw[:, :, :, None] & mt[:, :, None, :]
+            eye = jnp.zeros((w, tile), bool).at[jnp.arange(tile) + tile, jnp.arange(tile)].set(True)
+            adj = (d2 < float(self.graph_cutoffs["rr"]) ** 2) & valid & ~eye[None, None]
+            rr_edges = ("block", adj)
+            n_edges = jnp.sum(adj, axis=(1, 2, 3)).astype(jnp.float32)
+            edge_feat = None
+            if self.use_sameres_feat:
+                rw = block_windows(res, tile)
+                rt = res.reshape(b_, nt, tile)
+                edge_feat = (rw[:, :, :, None] == rt[:, :, None, :]).astype(h.dtype)[..., None]
+        else:
+            rr_idx, rr_valid = radius_neighbor_list(
+                x0, mask, x0, mask, self.graph_cutoffs["rr"], self.rr_max_neighbors, exclude_self=True
+            )
+            rr_edges = ("nbr", rr_idx, rr_valid)
+            n_edges = jnp.sum(rr_valid, axis=(1, 2)).astype(jnp.float32)
+            edge_feat = None
+            if self.use_sameres_feat:
+                res_nbr = jnp.take_along_axis(res[:, :, None], rr_idx, axis=1)
+                edge_feat = (res_nbr == res[:, :, None]).astype(h.dtype)[..., None]  # (B,Nr,K,1)
 
         # z normalization WITHOUT +1 (receptor_encoder.py:501-506)
         if self.message_norm == 0:
             n_rec = jnp.maximum(jnp.sum(mask, axis=1), 1).astype(jnp.float32)
-            n_edges = jnp.sum(rr_valid, axis=(1, 2)).astype(jnp.float32)
             z = (n_edges / n_rec)[:, None, None]
         else:
             z = float(self.message_norm)
@@ -140,7 +196,7 @@ class EGNNReceptorEncoder(nn.Module):
                 norm=self.norm,
                 edge_feat_size=1 if self.use_sameres_feat else 0,
                 name=f"rec_conv{i}",
-            )(h, x, mask, rr_idx, rr_valid, z, edge_feat)
+            )(h, x, mask, rr_edges, z, edge_feat)
 
         # ---- keypoint init: mean pocket feature -> K embeddings
         # (receptor_encoder.py:461-466,523-527)

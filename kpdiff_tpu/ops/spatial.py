@@ -39,6 +39,13 @@ def spatial_sort_permutation(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     return jnp.argsort(morton_code(x, mask), axis=1)
 
 
+def choose_tile(n: int, tile: int) -> int:
+    """Clamp the tile size to the node capacity; fall back to one tile
+    (exact, window spans everything) when it does not divide."""
+    tile = min(tile, n)
+    return tile if n % tile == 0 else n
+
+
 def block_windows(arr: jnp.ndarray, tile: int) -> jnp.ndarray:
     """(B, N, ...) -> (B, nt, 3*tile, ...): for each tile of `tile` rows,
     the rows of the previous, own, and next tiles (edge tiles zero-padded).
