@@ -39,9 +39,10 @@ class ReceptorConvLayer(nn.Module):
     """One EGNN conv over rr edges (receptor_encoder.py:14-154).
 
     rr edges come either as a destination-major neighbor list
-    (("nbr", idx, valid)) or banded block-dense windows (("block", adj)) —
-    the two edge modules share one parameter scheme, so the layout is a
-    runtime choice, not a checkpoint format."""
+    (layout='nbr': idx, valid) or banded block-dense windows
+    (layout='block': adj) — the two edge modules share one parameter
+    scheme, so the layout is a construction choice, not a checkpoint
+    format."""
 
     hidden_size: int
     out_size: int
@@ -50,6 +51,8 @@ class ReceptorConvLayer(nn.Module):
     fix_pos: bool = False
     norm: bool = False
     edge_feat_size: int = 0
+    dtype: str = "float32"
+    layout: str = "nbr"
 
     @nn.compact
     def __call__(self, h, x, mask, rr_edges, z, edge_feat=None):
@@ -60,13 +63,14 @@ class ReceptorConvLayer(nn.Module):
             coord_hidden_layers=1,  # encoder coord MLP has ONE hidden layer (receptor_encoder.py:63-67)
             compute_coord=not self.fix_pos,
             edge_feat_size=self.edge_feat_size,
+            dtype=self.dtype,
             name="edge_rr",
         )
-        if rr_edges[0] == "block":
+        if self.layout == "block":
             from kpdiff_tpu.models.egnn import EGNNEdgeDense
             from kpdiff_tpu.ops.spatial import block_windows
 
-            adj = rr_edges[1]  # (B, nt, 3T, T); edge_feat (B, nt, 3T, T, E)
+            (adj,) = rr_edges  # (B, nt, 3T, T); edge_feat (B, nt, 3T, T, E)
             b, nt, w, tile = adj.shape
             N, F = h.shape[1], h.shape[-1]
             hw = block_windows(h, tile).reshape(b * nt, w, F)
@@ -79,7 +83,7 @@ class ReceptorConvLayer(nn.Module):
             agg_h = agg_h.reshape(b, N, -1)
             agg_x = agg_x.reshape(b, N, 3)
         else:
-            _, nbr_idx, nbr_valid = rr_edges
+            nbr_idx, nbr_valid = rr_edges
             agg_h, agg_x = EGNNEdgeNbrList(**common)(h, h, x, x, nbr_idx, nbr_valid, edge_feat)
 
         h_neigh = agg_h / z
@@ -117,6 +121,7 @@ class EGNNReceptorEncoder(nn.Module):
     rr_max_neighbors: int = 100  # data-prep cap (pdbbind_processing.py:246)
     rr_layout: str = "block"  # 'block' (spatial-sort banded dense; fast) | 'nbr' (reference-cap semantics)
     rr_block_size: int = 64
+    compute_dtype: str = "float32"  # 'bfloat16' for mixed-precision edge MLPs
 
     @nn.compact
     def __call__(self, cpx: PaddedComplex) -> PaddedComplex:
@@ -158,7 +163,7 @@ class EGNNReceptorEncoder(nn.Module):
             valid = mw[:, :, :, None] & mt[:, :, None, :]
             eye = jnp.zeros((w, tile), bool).at[jnp.arange(tile) + tile, jnp.arange(tile)].set(True)
             adj = (d2 < float(self.graph_cutoffs["rr"]) ** 2) & valid & ~eye[None, None]
-            rr_edges = ("block", adj)
+            rr_edges = (adj,)
             n_edges = jnp.sum(adj, axis=(1, 2, 3)).astype(jnp.float32)
             edge_feat = None
             if self.use_sameres_feat:
@@ -169,7 +174,7 @@ class EGNNReceptorEncoder(nn.Module):
             rr_idx, rr_valid = radius_neighbor_list(
                 x0, mask, x0, mask, self.graph_cutoffs["rr"], self.rr_max_neighbors, exclude_self=True
             )
-            rr_edges = ("nbr", rr_idx, rr_valid)
+            rr_edges = (rr_idx, rr_valid)
             n_edges = jnp.sum(rr_valid, axis=(1, 2)).astype(jnp.float32)
             edge_feat = None
             if self.use_sameres_feat:
@@ -184,10 +189,14 @@ class EGNNReceptorEncoder(nn.Module):
             z = float(self.message_norm)
 
         x = x0
+        # remat each conv: the per-pair activations are recomputed in the
+        # backward pass instead of being stashed (they dominate HBM at
+        # pocket scale: (B*nt, 3T, T, H) per matmul per conv)
+        ConvLayer = nn.remat(ReceptorConvLayer, static_argnums=())
         for i in range(self.n_convs):
-            first, last = i == 0, i == self.n_convs - 1
+            last = i == self.n_convs - 1
             out_size = self.out_n_node_feat if (last or self.n_convs == 1) else self.hidden_n_node_feat
-            h, x = ReceptorConvLayer(
+            h, x = ConvLayer(
                 hidden_size=self.hidden_n_node_feat,
                 out_size=out_size,
                 use_tanh=self.use_tanh,
@@ -195,8 +204,10 @@ class EGNNReceptorEncoder(nn.Module):
                 fix_pos=self.fix_pos,
                 norm=self.norm,
                 edge_feat_size=1 if self.use_sameres_feat else 0,
+                dtype=self.compute_dtype,
+                layout=self.rr_layout,
                 name=f"rec_conv{i}",
-            )(h, x, mask, rr_edges, z, edge_feat)
+            )(h, x, mask, rr_edges, jnp.asarray(z, jnp.float32), edge_feat)
 
         # ---- keypoint init: mean pocket feature -> K embeddings
         # (receptor_encoder.py:461-466,523-527)
