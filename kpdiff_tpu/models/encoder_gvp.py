@@ -32,7 +32,14 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from kpdiff_tpu.models.complex import PaddedComplex
-from kpdiff_tpu.models.gvp import GVPChain, GVPEdgeMessagesNbr, GVPLayerNorm, _update_specs, gvp_dropout
+from kpdiff_tpu.models.gvp import (
+    GVPChain,
+    GVPEdgeMessagesDense,
+    GVPEdgeMessagesNbr,
+    GVPLayerNorm,
+    _update_specs,
+    gvp_dropout,
+)
 from kpdiff_tpu.models.nn import MLP, TorchLinear
 from kpdiff_tpu.ops.geometry import masked_mean
 from kpdiff_tpu.ops.neighbors import knn_indices, radius_neighbor_list
@@ -54,13 +61,15 @@ class GVPEdgeConvNbr(nn.Module):
     rbf_dim: int = 16
     message_norm: Union[float, str] = 10
     dropout: float = 0.0
+    dtype: str = "float32"
+    layout: str = "nbr"  # 'nbr' (idx, valid) | 'block' (banded adj,) — same params
 
     @nn.compact
-    def __call__(self, src_feats, dst_feats, nbr_idx, nbr_valid, z, mask_dst, edge_feat=None, deterministic=True):
+    def __call__(self, src_feats, dst_feats, edges, z, mask_dst, edge_feat=None, deterministic=True):
         h_s, x_s, v_s = src_feats
         h_d, x_d, v_d = dst_feats
         agg = "mean" if self.message_norm == "mean" else "sum"
-        s_msg, v_msg = GVPEdgeMessagesNbr(
+        common = dict(
             scalar_size=self.scalar_size,
             vector_size=self.vector_size,
             n_message_gvps=self.n_message_gvps,
@@ -69,8 +78,31 @@ class GVPEdgeConvNbr(nn.Module):
             use_dst_feats=self.use_dst_feats,
             edge_feat_size=self.edge_feat_size,
             agg=agg,
+            dtype=self.dtype,
             name="edge",
-        )(h_s, v_s, x_s, h_d, v_d, x_d, nbr_idx, nbr_valid, edge_feat)
+        )
+        if self.layout == "block":
+            from kpdiff_tpu.ops.spatial import block_windows
+
+            (adj,) = edges  # (B, nt, 3T, T); src set == dst set (rr)
+            b, nt, w, tile = adj.shape
+            N, S_, V_ = h_s.shape[1], h_s.shape[-1], v_s.shape[-2]
+            hw = block_windows(h_s, tile).reshape(b * nt, w, S_)
+            xw = block_windows(x_s, tile).reshape(b * nt, w, 3)
+            vw = block_windows(v_s, tile).reshape(b * nt, w, V_, 3)
+            ef = None if edge_feat is None else edge_feat.reshape(b * nt, w, tile, -1)
+            s_msg, v_msg = GVPEdgeMessagesDense(**common)(
+                hw, vw, xw,
+                h_d.reshape(b * nt, tile, S_), v_d.reshape(b * nt, tile, V_, 3), x_d.reshape(b * nt, tile, 3),
+                adj.reshape(b * nt, w, tile), ef,
+            )
+            s_msg = s_msg.reshape(b, N, S_)
+            v_msg = v_msg.reshape(b, N, V_, 3)
+        else:
+            nbr_idx, nbr_valid = edges
+            s_msg, v_msg = GVPEdgeMessagesNbr(**common)(
+                h_s, v_s, x_s, h_d, v_d, x_d, nbr_idx, nbr_valid, edge_feat
+            )
 
         s_msg = s_msg / z
         v_msg = v_msg / (z if isinstance(z, float) else z[..., None])
@@ -82,7 +114,10 @@ class GVPEdgeConvNbr(nn.Module):
         v = v_d + v_msg
         h, v = GVPLayerNorm(name="message_norm")(h, v)
 
-        s_res, v_res = GVPChain(_update_specs(self.scalar_size, self.vector_size, self.n_update_gvps), name="update")((h, v))
+        s_res, v_res = GVPChain(_update_specs(self.scalar_size, self.vector_size, self.n_update_gvps),
+                                dtype=self.dtype, name="update")((h, v))
+        s_res = s_res.astype(h.dtype)
+        v_res = v_res.astype(v.dtype)
         if self.dropout > 0 and not deterministic:
             s_res, v_res = gvp_dropout(self.make_rng("dropout"), s_res, v_res, self.dropout, deterministic)
         h = h + s_res
@@ -111,6 +146,9 @@ class GVPReceptorEncoder(nn.Module):
     dropout: float = 0.0
     graph_cutoffs: Dict[str, float] = None
     rr_max_neighbors: int = 100
+    rr_layout: str = "block"  # 'block' (spatial-sort banded dense) | 'nbr'
+    rr_block_size: int = 64
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, cpx: PaddedComplex, deterministic: bool = True) -> PaddedComplex:
@@ -123,35 +161,67 @@ class GVPReceptorEncoder(nn.Module):
 
         x0 = cpx.rec_x
         mask = cpx.rec_mask
+        res = cpx.rec_res_idx
+
+        if self.rr_layout == "block":
+            # spatially sort the pocket atoms (a set — safe) for banded
+            # block-dense rr edges; see BASELINE.md gather ablation
+            from kpdiff_tpu.ops.spatial import block_windows, choose_tile, spatial_sort_permutation
+
+            perm = spatial_sort_permutation(x0, mask)
+            x0 = jnp.take_along_axis(x0, perm[..., None], axis=1)
+            mask = jnp.take_along_axis(mask, perm, axis=1)
+            res = jnp.take_along_axis(res, perm, axis=1)
+            rec_h_in = jnp.take_along_axis(cpx.rec_h, perm[..., None], axis=1)
+        else:
+            rec_h_in = cpx.rec_h
 
         # scalar embedding (receptor_encoder_gvp.py:158-164,218-222)
-        h = MLP([F, F], ["silu", "silu"], name="scalar_embed")(cpx.rec_h)
+        h = MLP([F, F], ["silu", "silu"], name="scalar_embed")(rec_h_in)
         h = nn.LayerNorm(epsilon=1e-5, name="scalar_norm")(h)
         h = h * mask[..., None]
         v = jnp.zeros((b, nr, self.vector_size, 3), h.dtype)
 
-        rr_idx, rr_valid = radius_neighbor_list(
-            x0, mask, x0, mask, self.graph_cutoffs["rr"], self.rr_max_neighbors, exclude_self=True
-        )
-
         edge_feat = None
-        if self.use_sameres_feat:
-            res = cpx.rec_res_idx
-            res_nbr = jnp.take_along_axis(res[:, :, None], rr_idx, axis=1)
-            edge_feat = (res_nbr == res[:, :, None]).astype(h.dtype)[..., None]
+        if self.rr_layout == "block":
+            tile = choose_tile(x0.shape[1], self.rr_block_size)
+            xw = block_windows(x0, tile)
+            mw = block_windows(mask, tile)
+            b_, nt, w = mw.shape
+            xt = x0.reshape(b_, nt, tile, 3)
+            mt = mask.reshape(b_, nt, tile)
+            d2 = jnp.sum(jnp.square(xw[:, :, :, None, :] - xt[:, :, None, :, :]), axis=-1)
+            valid = mw[:, :, :, None] & mt[:, :, None, :]
+            eye = jnp.zeros((w, tile), bool).at[jnp.arange(tile) + tile, jnp.arange(tile)].set(True)
+            adj = (d2 < float(self.graph_cutoffs["rr"]) ** 2) & valid & ~eye[None, None]
+            rr_edges = (adj,)
+            n_edges = jnp.sum(adj, axis=(1, 2, 3)).astype(jnp.float32)
+            if self.use_sameres_feat:
+                rw = block_windows(res, tile)
+                rt = res.reshape(b_, nt, tile)
+                edge_feat = (rw[:, :, :, None] == rt[:, :, None, :]).astype(h.dtype)[..., None]
+        else:
+            rr_idx, rr_valid = radius_neighbor_list(
+                x0, mask, x0, mask, self.graph_cutoffs["rr"], self.rr_max_neighbors, exclude_self=True
+            )
+            rr_edges = (rr_idx, rr_valid)
+            n_edges = jnp.sum(rr_valid, axis=(1, 2)).astype(jnp.float32)
+            if self.use_sameres_feat:
+                res_nbr = jnp.take_along_axis(res[:, :, None], rr_idx, axis=1)
+                edge_feat = (res_nbr == res[:, :, None]).astype(h.dtype)[..., None]
 
         # z for rr convs (receptor_encoder_gvp.py:239-249): NO +1
         if self.message_norm == "mean":
             z = 1.0
         elif self.message_norm == 0:
             n_rec = jnp.maximum(jnp.sum(mask, axis=1), 1).astype(jnp.float32)
-            n_edges = jnp.sum(rr_valid, axis=(1, 2)).astype(jnp.float32)
             z = (n_edges / n_rec)[:, None]
         else:
             z = float(self.message_norm)
 
+        RRConv = nn.remat(GVPEdgeConvNbr)
         for i in range(self.n_rr_convs):
-            h, v = GVPEdgeConvNbr(
+            h, v = RRConv(
                 scalar_size=F,
                 vector_size=self.vector_size,
                 n_message_gvps=self.n_message_gvps,
@@ -160,8 +230,10 @@ class GVPReceptorEncoder(nn.Module):
                 rbf_dmax=self.graph_cutoffs["rr"],
                 message_norm=self.message_norm,
                 dropout=self.dropout,
+                dtype=self.compute_dtype,
+                layout=self.rr_layout,
                 name=f"rr_conv{i}",
-            )((h, x0, v), (h, x0, v), rr_idx, rr_valid, z, mask, edge_feat, deterministic)
+            )((h, x0, v), (h, x0, v), rr_edges, jnp.asarray(z, jnp.float32), mask, edge_feat)
 
         # ---- keypoint initializer (receptor_encoder_gvp.py:15-93)
         mean_feat = masked_mean(h, mask, axis=1)
@@ -206,6 +278,6 @@ class GVPReceptorEncoder(nn.Module):
                 message_norm=self.message_norm,
                 dropout=self.dropout,
                 name=f"rk_conv{i}",
-            )((h, x0, v), (kp_h, kp_pos, kp_v), rk_idx, rk_valid, z_rk, kp_mask, None, deterministic)
+            )((h, x0, v), (kp_h, kp_pos, kp_v), (rk_idx, rk_valid), z_rk, kp_mask, None, deterministic)
 
         return cpx.replace(kp_x=kp_pos, kp_h=kp_h, kp_mask=kp_mask, kp_v=kp_v)
