@@ -149,15 +149,21 @@ class KeypointDiffusion:
 
     # ---------------------------------------------------------------- encode
 
-    def encode(self, params: Dict[str, Any], cpx: PaddedComplex) -> Tuple[PaddedComplex, Any]:
+    def encode(self, params: Dict[str, Any], cpx: PaddedComplex, dropout_rng=None) -> Tuple[PaddedComplex, Any]:
         """Run the receptor encoder; returns the complex with kp_* filled and
         the kk edge structure used by the dynamics (built once, reused for
         every denoising step — the reference stores these edges in the graph,
-        receptor_encoder.py:539-547 / receptor_encoder_fixed.py:41-45)."""
+        receptor_encoder.py:539-547 / receptor_encoder_fixed.py:41-45).
+
+        dropout_rng: enables dropout (GVP encoders; training only)."""
         if self.cfg.rec_encoder_type == "fixed":
             n_vec = self.cfg.rec_encoder.get("vector_size") if self.cfg.architecture == "gvp" else None
             sort = self.cfg.dynamics.get("kk_layout", "dense") == "block"
             cpx = fixed_encode(cpx, n_vec_feats=n_vec, sort_spatial=sort)
+        elif dropout_rng is not None and self.cfg.architecture == "gvp":
+            cpx = self.rec_encoder.apply(
+                {"params": params["encoder"]}, cpx, deterministic=False, rngs={"dropout": dropout_rng}
+            )
         else:
             cpx = self.rec_encoder.apply({"params": params["encoder"]}, cpx)
         return cpx, self._kk_edges(cpx)
@@ -198,9 +204,14 @@ class KeypointDiffusion:
         )
 
     def _apply_dynamics(self, params, lig_x, lig_h, lig_mask, kp_x, kp_h, kp_mask, t, kk, kp_v=None,
-                        sampling: bool = False):
+                        sampling: bool = False, dropout_rng=None):
         mod = self.dynamics_sample if sampling else self.dynamics
         if self.cfg.architecture == "gvp":
+            if dropout_rng is not None:
+                return mod.apply(
+                    {"params": params["dynamics"]}, lig_x, lig_h, lig_mask, kp_x, kp_h, kp_mask, t, kk, kp_v,
+                    deterministic=False, rngs={"dropout": dropout_rng},
+                )
             return mod.apply(
                 {"params": params["dynamics"]}, lig_x, lig_h, lig_mask, kp_x, kp_h, kp_mask, t, kk, kp_v
             )
@@ -218,7 +229,14 @@ class KeypointDiffusion:
         # normalize ligand features (ligand_diffuser.py:95,177-179)
         cpx = cpx.replace(lig_h=cpx.lig_h / cfg.lig_feat_norm_constant)
 
-        cpx, kk = self.encode(params, cpx)
+        rng, k_drop_enc = jax.random.split(rng)
+        enc_drop = (
+            k_drop_enc
+            if (self.cfg.architecture == "gvp" and self.cfg.rec_encoder_type == "learned"
+                and self.cfg.rec_encoder.get("dropout", 0) > 0)
+            else None
+        )
+        cpx, kk = self.encode(params, cpx, dropout_rng=enc_drop)
 
         losses: Dict[str, jnp.ndarray] = {}
         losses["rec_encoder"] = self._rec_encoder_loss(cpx)
@@ -234,7 +252,7 @@ class KeypointDiffusion:
         kp_x = (cpx.kp_x - com[:, None]) * km
 
         # per-graph timestep and noise (ligand_diffuser.py:121-128)
-        k_t, k_ex, k_eh = jax.random.split(rng, 3)
+        k_t, k_ex, k_eh, k_drop_dyn = jax.random.split(rng, 4)
         t_int = jax.random.randint(k_t, (b,), 0, cfg.n_timesteps)
         t = t_int.astype(jnp.float32) / cfg.n_timesteps
         eps_x = jax.random.normal(k_ex, cpx.lig_x.shape) * lm
@@ -252,8 +270,12 @@ class KeypointDiffusion:
         z_x = (z_x - com2[:, None]) * lm
         kp_x = (kp_x - com2[:, None]) * km
 
+        # dropout active in the training loss (GVP configs set 0.1-0.2; the
+        # reference never switches to eval mode for its test losses either)
+        drop = k_drop_dyn if (self.cfg.architecture == "gvp" and self.cfg.dynamics.get("dropout", 0) > 0) else None
         eps_h_pred, eps_x_pred = self._apply_dynamics(
-            params, z_x, z_h, cpx.lig_mask, kp_x, cpx.kp_h, cpx.kp_mask, t, kk, cpx.kp_v
+            params, z_x, z_h, cpx.lig_mask, kp_x, cpx.kp_h, cpx.kp_mask, t, kk, cpx.kp_v,
+            dropout_rng=drop,
         )
 
         # l2 on noise (ligand_diffuser.py:158-174). NOTE: with fake atoms the
