@@ -35,8 +35,9 @@ def test_fake_atoms_loss_and_removal():
 
 def test_rl_hinge_loss():
     # receptor-ligand clash hinge (ligand_diffuser.py:45-49,138-156)
+    # large threshold so the denoised ligand always clashes -> hinge active
     model = KeypointDiffusion(DiffusionConfig(
-        atom_nf=10, rec_nf=10, n_timesteps=10, rec_encoder_type="fixed", rl_dist_threshold=2.0,
+        atom_nf=10, rec_nf=10, n_timesteps=10, rec_encoder_type="fixed", rl_dist_threshold=6.0,
         dynamics=dict(n_layers=1, hidden_nf=16, use_tanh=True, message_norm=1, kl_k=3),
     ))
     cpx = synthetic_batch(1, batch=2, n_rec_pad=20, n_lig_pad=8, n_kp=20, kp_feat_dim=10)
@@ -44,6 +45,7 @@ def test_rl_hinge_loss():
     losses = model.loss(params, jax.random.key(1), cpx)
     assert "rl_hinge" in losses
     assert np.isfinite(float(losses["rl_hinge"]))
+    assert float(losses["rl_hinge"]) > 0
     # gradient flows through the hinge
     g = jax.grad(lambda p: model.loss(p, jax.random.key(1), cpx)["rl_hinge"])(params)
     assert any(float(jnp.abs(x).max()) > 0 for x in jax.tree_util.tree_leaves(g))

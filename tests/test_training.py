@@ -81,12 +81,14 @@ def test_smoke_train_loss_decreases():
 
     losses = []
     rng = jax.random.key(1)
-    for epoch in range(8):
+    for epoch in range(16):
         for batch in loader.epoch():
             rng, k = jax.random.split(rng)
             state, metrics = step(state, k, batch)
             losses.append(float(metrics["l2"]))
-    assert np.mean(losses[:4]) > np.mean(losses[-4:]), losses
+    # per-step l2 is noisy (random t per graph); compare quartile means
+    q = max(len(losses) // 4, 1)
+    assert np.mean(losses[:q]) > np.mean(losses[-q:]), losses
     assert all(np.isfinite(losses))
 
 
