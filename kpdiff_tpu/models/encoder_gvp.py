@@ -215,11 +215,13 @@ class GVPReceptorEncoder(nn.Module):
             z = 1.0
         elif self.message_norm == 0:
             n_rec = jnp.maximum(jnp.sum(mask, axis=1), 1).astype(jnp.float32)
-            z = (n_edges / n_rec)[:, None]
+            z = (n_edges / n_rec)[:, None, None]  # (B,1,1) vs s_msg (B,N,S)
         else:
             z = float(self.message_norm)
 
-        RRConv = nn.remat(GVPEdgeConvNbr)
+        # static_argnums: `deterministic` (idx 7, self=0) is a Python bool
+        # branching the dropout path — must not be traced through remat
+        RRConv = nn.remat(GVPEdgeConvNbr, static_argnums=(7,))
         for i in range(self.n_rr_convs):
             h, v = RRConv(
                 scalar_size=F,
@@ -233,7 +235,8 @@ class GVPReceptorEncoder(nn.Module):
                 dtype=self.compute_dtype,
                 layout=self.rr_layout,
                 name=f"rr_conv{i}",
-            )((h, x0, v), (h, x0, v), rr_edges, jnp.asarray(z, jnp.float32), mask, edge_feat)
+            )((h, x0, v), (h, x0, v), rr_edges, jnp.asarray(z, jnp.float32), mask, edge_feat,
+              deterministic)
 
         # ---- keypoint initializer (receptor_encoder_gvp.py:15-93)
         mean_feat = masked_mean(h, mask, axis=1)
@@ -261,7 +264,7 @@ class GVPReceptorEncoder(nn.Module):
         # z for rk convs (receptor_encoder_gvp.py:266-269): NO +1
         if self.message_norm == 0:
             n_edges = jnp.sum(rk_valid, axis=(1, 2)).astype(jnp.float32)
-            z_rk = (n_edges / K)[:, None]
+            z_rk = (n_edges / K)[:, None, None]  # (B,1,1) vs s_msg (B,K,S)
         elif self.message_norm == "mean":
             z_rk = 1.0
         else:
