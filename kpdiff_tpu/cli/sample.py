@@ -93,11 +93,14 @@ def main(argv=None):
 
     batch = args.max_batch_size
 
+    encode_fn = jax.jit(model.encode)
+
     @jax.jit
-    def sample_batch(params, rng, cpx, init_com):
-        enc, kk = model.encode(params, cpx)
+    def sample_fn(params, rng, enc, kk, init_com):
         return model.sample(params, rng, enc, kk, init_com=init_com,
-                            return_every=args.frames_every if args.visualize else 0), enc
+                            return_every=args.frames_every if args.visualize else 0)
+
+
 
     idxs = [args.dataset_idx] if args.dataset_idx is not None else range(
         min(len(ds), args.dataset_size or len(ds))
@@ -113,6 +116,21 @@ def main(argv=None):
             size_dist = LigandSizeDistribution("/root/reference/data/bindingmoad_processed")
     rng_np = np.random.default_rng(args.seed + 1)
 
+    # bucketed ligand padding at sampling time: each pocket's batch is padded
+    # to the smallest configured bucket that fits its largest requested
+    # ligand; one jit specialization per bucket actually used
+    import dataclasses
+
+    lig_buckets = config.get("padding", {}).get("lig_buckets")
+    if lig_buckets == "auto":
+        from kpdiff_tpu.data.dataset import derive_lig_buckets, lig_sizes as _lig_sizes
+
+        lig_buckets = derive_lig_buckets(_lig_sizes(ds), pad.n_lig)
+        print(f"ligand buckets (auto from size histogram): {lig_buckets}", flush=True)
+    buckets = sorted(lig_buckets) if lig_buckets else [pad.n_lig]
+    if buckets[-1] != pad.n_lig:
+        buckets.append(pad.n_lig)
+
     rng = jax.random.key(args.seed)
     for i in idxs:
         t0 = time.time()
@@ -125,20 +143,22 @@ def main(argv=None):
         else:
             sizes = [int(args.ligand_size)] * batch
         sizes = np.clip(np.asarray(sizes), 2, pad.n_lig)
+        bucket = next(b for b in buckets if int(sizes.max()) <= b)
+        pad_i = dataclasses.replace(pad, n_lig=bucket)
 
         items = []
         for n in sizes:
             it = dict(item)
             it["lig_pos"] = np.zeros((int(n), 3), np.float32)
             it["lig_feat"] = np.zeros((int(n), item["lig_feat"].shape[1]), np.float32)
-            padded = pad_item(it, pad, n_lig_feat_out=n_lig_feat)
+            padded = pad_item(it, pad_i, n_lig_feat_out=n_lig_feat)
             if padded is None:
                 break
             items.append(padded)
         if len(items) < batch:
             print(f"pocket {i}: exceeds padding capacity, skipped", flush=True)
             continue
-        cpx = _to_complex(items, pad, model, kp_vec_dim)
+        cpx = _to_complex(items, pad_i, model, kp_vec_dim)
 
         if args.use_ref_lig_com:
             ref_com = item["lig_pos"].mean(0)
@@ -146,13 +166,20 @@ def main(argv=None):
         else:
             init_com = None
 
+        # encode ONCE per pocket (reference test.py:164), then compact the
+        # static kk edge set to an exact capped neighbor list
+        # (model.compact_kk) before the 1000-step scan — the dense kk pair
+        # grid dominates flagship step time
+        enc, kk = encode_fn(params, cpx)
+        kk = model.compact_kk(enc, kk)
+
         mols = []
         n_tries = 0
         kp_out = None
         while len(mols) < args.samples_per_pocket and n_tries < args.max_tries:
             n_tries += 1
             rng, k = jax.random.split(rng)
-            out, enc = sample_batch(params, k, cpx, init_com)
+            out = sample_fn(params, k, enc, kk, init_com)
             lig_x = np.asarray(out["lig_x"])
             lig_h = np.asarray(out["lig_h"])
             lig_mask = np.asarray(out["lig_mask"])

@@ -131,12 +131,22 @@ def main(argv=None):
     if model.cfg.architecture == "gvp":
         kp_vec_dim = model.cfg.rec_encoder.get("vector_size", 16)
 
+    # bucketed ligand padding (SURVEY §7.1 point 2): pad each complex to the
+    # smallest bucket that fits instead of the full capacity; 'auto' derives
+    # buckets from the training split's size distribution
+    lig_buckets = config.get("padding", {}).get("lig_buckets")
+    if lig_buckets == "auto":
+        from kpdiff_tpu.data.dataset import derive_lig_buckets, lig_sizes
+
+        lig_buckets = derive_lig_buckets(lig_sizes(train_ds), pad.n_lig)
+        print(f"ligand buckets (auto from size histogram): {lig_buckets}", flush=True)
+
     def loader(ds, seed, drop_last=True):
         return PaddedLoader(
             ds, pad, batch_size=tr.get("batch_size", 32),
             n_kp=pad.n_kp, kp_feat_dim=model.cfg.rec_nf, kp_vec_dim=kp_vec_dim,
             max_fake_atom_frac=ds_cfg.get("max_fake_atom_frac", 0.0), seed=seed,
-            drop_last=drop_last,
+            drop_last=drop_last, lig_buckets=lig_buckets,
         )
 
     train_loader = loader(train_ds, args.seed)
@@ -258,7 +268,8 @@ def main(argv=None):
 
             if epoch_exact - last_test_marker >= test_interval:
                 last_test_marker = epoch_exact
-                test_row = evaluate(model, state.params, test_loader, rng)
+                test_row = evaluate(model, state.params, test_loader, rng,
+                                    test_epochs=tr.get("test_epochs", 1))
                 test_row["epoch"] = epoch_exact
                 test_log.append(**test_row)
                 print(f"  test: {test_row}", flush=True)
@@ -281,7 +292,8 @@ def main(argv=None):
 
     # final held-out eval + checkpoint (reference saves at the end, train.py:643-645)
     final_epoch = float(state.step) / iters_per_epoch
-    test_row = evaluate(model, state.params, test_loader, rng)
+    test_row = evaluate(model, state.params, test_loader, rng,
+                        test_epochs=tr.get("test_epochs", 1))
     test_row["epoch"] = final_epoch
     test_log.append(**test_row)
     print(f"  final test: {test_row}", flush=True)
@@ -303,19 +315,27 @@ def _init_wandb(config):
     return wandb.init(config=config, **init_kwargs)
 
 
-def evaluate(model, params, test_loader, rng):
-    """Held-out loss eval (reference test_model, train.py:312-358)."""
+def evaluate(model, params, test_loader, rng, test_epochs=1, max_batches=None):
+    """Held-out loss eval over `test_epochs` full passes of the test split
+    (reference test_model, train.py:312-358; trained configs use 1-3).
+    The jitted loss is hoisted once per model so batches don't retrace."""
     import jax
 
+    step = getattr(model, "_eval_loss_jit", None)
+    if step is None:
+        step = jax.jit(model.loss)
+        model._eval_loss_jit = step
+
     sums, n = {}, 0
-    for batch in test_loader.epoch():
-        rng, k = jax.random.split(rng)
-        losses = jax.jit(model.loss)(params, k, batch)
-        for key, v in losses.items():
-            sums[key] = sums.get(key, 0.0) + float(v)
-        n += 1
-        if n >= 8:
-            break
+    for _ in range(max(int(test_epochs), 1)):
+        for batch in test_loader.epoch():
+            rng, k = jax.random.split(rng)
+            losses = step(params, k, batch)
+            for key, v in losses.items():
+                sums[key] = sums.get(key, 0.0) + float(v)
+            n += 1
+            if max_batches is not None and n >= max_batches:
+                return {f"test_{k}": v / max(n, 1) for k, v in sums.items()}
     return {f"test_{k}": v / max(n, 1) for k, v in sums.items()}
 
 

@@ -109,6 +109,7 @@ def model_from_config(config: Dict[str, Any]) -> KeypointDiffusion:
         rec_nf=n_kp_feat,
         n_timesteps=diffusion.get("n_timesteps", 1000),
         precision=diffusion.get("precision", 1e-4),
+        noise_schedule=diffusion.get("noise_schedule", "polynomial_2"),
         lig_feat_norm_constant=diffusion.get("lig_feat_norm_constant", 1),
         rl_dist_threshold=diffusion.get("rl_dist_threshold", 0),
         use_fake_atoms=config["dataset"].get("max_fake_atom_frac", 0.0) > 0,

@@ -152,6 +152,35 @@ def pad_item(
     return out
 
 
+def lig_sizes(ds: "ComplexDataset") -> np.ndarray:
+    """Per-complex ligand atom counts (from the segment pointers)."""
+    return np.diff(ds.lig_segments)
+
+
+def derive_lig_buckets(sizes, n_lig_pad: int, max_buckets: int = 3, align: int = 8):
+    """Choose <= max_buckets ascending ligand padding buckets (multiples of
+    `align`, largest == n_lig_pad) minimizing the expected dense ll pair-grid
+    cost E[bucket(n)^2] over the observed size distribution (SURVEY §7.1
+    point 2: the joint size histogram drives bucket design). Brute-force over
+    the tiny candidate set. Returns e.g. [24, 32, 48] for BindingMOAD."""
+    import itertools
+
+    sizes = np.asarray(sizes)
+    sizes = sizes[(sizes > 0) & (sizes <= n_lig_pad)]
+    if sizes.size == 0 or max_buckets <= 1:
+        return [n_lig_pad]
+    cands = [b for b in range(align, n_lig_pad, align) if b >= sizes.min()]
+    best, best_cost = [n_lig_pad], float(n_lig_pad) ** 2
+    for k in range(1, max_buckets):
+        for combo in itertools.combinations(cands, k):
+            buckets = sorted(combo) + [n_lig_pad]
+            bs = np.asarray(buckets)
+            cost = float(np.mean(bs[np.searchsorted(bs, sizes)] ** 2))
+            if cost < best_cost - 1e-9:
+                best, best_cost = buckets, cost
+    return best
+
+
 class PaddedLoader:
     """Shuffled epoch iterator producing PaddedComplex batches.
 

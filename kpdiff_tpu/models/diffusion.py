@@ -31,6 +31,9 @@ class DiffusionConfig:
     rec_nf: int  # keypoint feature size entering the dynamics
     n_timesteps: int = 1000
     precision: float = 1e-4
+    # reference: PredefinedNoiseSchedule(noise_schedule, ...) built from the
+    # diffusion config section (ligand_diffuser.py:55,654-690)
+    noise_schedule: str = "polynomial_2"
     lig_feat_norm_constant: float = 1.0
     rl_dist_threshold: float = 0.0
     use_fake_atoms: bool = False
@@ -51,7 +54,7 @@ class KeypointDiffusion:
 
     def __init__(self, cfg: DiffusionConfig):
         self.cfg = cfg
-        self.schedule = NoiseSchedule.create("polynomial_2", cfg.n_timesteps, cfg.precision)
+        self.schedule = NoiseSchedule.create(cfg.noise_schedule, cfg.n_timesteps, cfg.precision)
 
         dyn = dict(cfg.dynamics)
         if cfg.architecture == "egnn":
@@ -70,6 +73,7 @@ class KeypointDiffusion:
                 kl_cutoff=cfg.graph_cutoffs.get("kl", 8.0),
                 kk_layout=dyn.get("kk_layout", "dense"),
                 compute_dtype=dyn.get("compute_dtype", "float32"),
+                mxu_split_t=dyn.get("mxu_split_t", None),
             )
             # sampling-only variant with the fused Pallas edge kernel
             # (forward-only: pallas_call has no VJP; training uses XLA)
@@ -201,6 +205,36 @@ class KeypointDiffusion:
             )
         return radius_neighbor_list(
             cpx.kp_x, cpx.kp_mask, cpx.kp_x, cpx.kp_mask, self.cfg.graph_cutoffs["kk"], 100, exclude_self=True
+        )
+
+    def compact_kk(self, cpx: PaddedComplex, kk, align: int = 8):
+        """Exact capped neighbor-list kk for sampling (EGNN dense kk only).
+
+        kk edges are static per pocket (built once by the encoder) while the
+        40x40 dense kk pair grid dominates flagship step time, yet the true
+        degree at the 8 A cutoff is typically ~10-15. This fetches the max
+        degree (one scalar, outside jit) and rebuilds kk as a top-k neighbor
+        list with k >= max degree rounded up to `align` — the EXACT same
+        edge set in a smaller layout. Falls back to the input unchanged when
+        there is nothing to gain (or for non-dense structures). The dynamics
+        dispatches on the edge structure, so no re-configuration is needed.
+        """
+        import jax as _jax
+
+        if self.cfg.architecture != "egnn" or not isinstance(kk, jnp.ndarray) or kk.ndim != 3:
+            return kk
+        K = kk.shape[-1]
+        deg = int(_jax.device_get(jnp.max(jnp.sum(kk, axis=-1))))
+        cap = min(K, max(((deg + align - 1) // align) * align, align))
+        if cap >= K:
+            return kk
+        from kpdiff_tpu.ops.neighbors import radius_neighbor_list
+
+        return radius_neighbor_list(
+            cpx.kp_x, cpx.kp_mask, cpx.kp_x, cpx.kp_mask,
+            self.cfg.graph_cutoffs["kk"] if self.cfg.rec_encoder_type != "fixed"
+            else self.cfg.graph_cutoffs["rr"],
+            cap, exclude_self=True,
         )
 
     def _apply_dynamics(self, params, lig_x, lig_h, lig_mask, kp_x, kp_h, kp_mask, t, kk, kp_v=None,

@@ -38,6 +38,7 @@ class EGNNConvLayer(nn.Module):
     kk_layout: str = "dense"  # 'dense' | 'nbr'
     dtype: str = "float32"  # compute dtype for the pair MLPs
     use_pallas: bool = False  # fused VMEM edge kernel (forward-only)
+    split_last: bool = False  # MXU-aligned t-channel (models/egnn.py _smatmul)
 
     @nn.compact
     def __call__(self, h, x, edges, z, masks):
@@ -55,6 +56,7 @@ class EGNNConvLayer(nn.Module):
                 coord_hidden_layers=2,
                 dtype=self.dtype,
                 use_pallas=self.use_pallas,
+                split_last=self.split_last,
                 name=f"edge_{name}",
             )
             dh, dx = mod(h[src], h[dst], x[src], x[dst], adj)
@@ -69,7 +71,8 @@ class EGNNConvLayer(nn.Module):
             idx, valid = edges["kl_pairs"]
             dh, dx = EGNNEdgeKNNPairs(
                 hidden_size=self.hidden_size, anchor_is_src=True,
-                use_tanh=self.use_tanh, dtype=self.dtype, name="edge_kl",
+                use_tanh=self.use_tanh, dtype=self.dtype,
+                split_last=self.split_last, name="edge_kl",
             )(h["kp"], h["lig"], x["kp"], x["lig"], idx, valid)
             agg_h["lig"] = agg_h["lig"] + dh
             agg_x["lig"] = agg_x["lig"] + dx
@@ -81,17 +84,24 @@ class EGNNConvLayer(nn.Module):
                 idx, valid = edges["kl_pairs"]
                 dh, dx = EGNNEdgeKNNPairs(
                     hidden_size=self.hidden_size, anchor_is_src=False,
-                    use_tanh=self.use_tanh, dtype=self.dtype, name="edge_lk",
+                    use_tanh=self.use_tanh, dtype=self.dtype,
+                    split_last=self.split_last, name="edge_lk",
                 )(h["kp"], h["lig"], x["kp"], x["lig"], idx, valid)
                 agg_h["kp"] = agg_h["kp"] + dh
                 agg_x["kp"] = agg_x["kp"] + dx
             else:
                 dense("lk", "lig", "kp", edges["lk"])
-            if self.kk_layout == "block":
+            # kk edge structure is data-driven (static pytree structure at
+            # trace time): ("block", adj) | (idx, valid) nbr list | dense
+            # (B,K,K) adjacency. Parameters are identical across layouts, so
+            # the sampler may pick a different layout than training did
+            # (e.g. compact_kk's exact capped nbr list).
+            kk_struct = edges["kk"]
+            if isinstance(kk_struct, tuple) and isinstance(kk_struct[0], str):
                 # banded block-dense kk: static windows, dense tile pairs
                 from kpdiff_tpu.ops.spatial import block_windows
 
-                _, adj = edges["kk"]
+                _, adj = kk_struct
                 b, nt, w, tile = adj.shape
                 K = nt * tile
                 F = h["kp"].shape[-1]
@@ -102,21 +112,22 @@ class EGNNConvLayer(nn.Module):
                 mod = EGNNEdgeDense(
                     hidden_size=self.hidden_size, use_tanh=self.use_tanh,
                     coords_range=10.0, coord_hidden_layers=2, dtype=self.dtype,
-                    name="edge_kk",
+                    split_last=self.split_last, name="edge_kk",
                 )
                 dh, dx = mod(hw, ht, xw, xt, adj.reshape(b * nt, w, tile))
                 agg_h["kp"] = agg_h["kp"] + dh.reshape(b, K, F)
                 agg_x["kp"] = agg_x["kp"] + dx.reshape(b, K, 3)
-            elif self.kk_layout == "dense":
-                dense("kk", "kp", "kp", edges["kk"])
+            elif not isinstance(kk_struct, tuple):
+                dense("kk", "kp", "kp", kk_struct)
             else:
-                idx, valid = edges["kk"]
+                idx, valid = kk_struct
                 mod = EGNNEdgeNbrList(
                     hidden_size=self.hidden_size,
                     use_tanh=self.use_tanh,
                     coords_range=10.0,
                     coord_hidden_layers=2,
                     dtype=self.dtype,
+                    split_last=self.split_last,
                     name="edge_kk",
                 )
                 dh, dx = mod(h["kp"], h["kp"], x["kp"], x["kp"], idx, valid)
@@ -155,6 +166,10 @@ class EGNNDynamics(nn.Module):
     kk_layout: str = "dense"
     compute_dtype: str = "float32"  # 'bfloat16' for mixed-precision pair MLPs
     use_pallas: bool = False  # fused VMEM edge kernel (forward-only; sampling)
+    # MXU-aligned t-channel: compute the hidden_nf+1-wide pair MLPs as an
+    # aligned hidden_nf matmul + rank-1 correction (exact; models/egnn.py).
+    # None = auto (on when hidden_nf is a multiple of the 128 TPU lane width).
+    mxu_split_t: bool = None
 
     @nn.compact
     def __call__(
@@ -217,12 +232,13 @@ class EGNNDynamics(nn.Module):
             z["lig"] = (e_lig / n_lig + 1.0)[:, None, None]
             if self.update_kp_feat:
                 n_kp = jnp.maximum(jnp.sum(kp_mask, axis=1), 1)
-                if self.kk_layout == "dense":
-                    e_kk = jnp.sum(edges["kk"], axis=(1, 2))
-                elif self.kk_layout == "block":
-                    e_kk = jnp.sum(edges["kk"][1], axis=(1, 2, 3))
+                kk_struct = edges["kk"]
+                if not isinstance(kk_struct, tuple):
+                    e_kk = jnp.sum(kk_struct, axis=(1, 2))
+                elif isinstance(kk_struct[0], str):
+                    e_kk = jnp.sum(kk_struct[1], axis=(1, 2, 3))
                 else:
-                    e_kk = jnp.sum(edges["kk"][1], axis=(1, 2))
+                    e_kk = jnp.sum(kk_struct[1], axis=(1, 2))
                 e_kp = e_kl + e_kk  # lk edge count == kl edge count
                 z["kp"] = (e_kp / n_kp + 1.0)[:, None, None]
             else:
@@ -230,6 +246,12 @@ class EGNNDynamics(nn.Module):
         else:
             z["lig"] = float(self.message_norm)
             z["kp"] = float(self.message_norm)
+
+        # default OFF: measured on TPU v5e, the split path's extra elementwise
+        # passes cost more than the matmul lane padding saves — the sampler
+        # is HBM-bound, not MXU-bound (BASELINE.md round-2 notes). The exact
+        # split math is kept for explicit opt-in and for the Pallas kernel.
+        split_t = bool(self.mxu_split_t) if self.mxu_split_t is not None else False
 
         h = {"lig": lig_feat, "kp": kp_feat}
         x = {"lig": lig_x, "kp": kp_x}
@@ -249,6 +271,7 @@ class EGNNDynamics(nn.Module):
                 kk_layout=self.kk_layout,
                 dtype=self.compute_dtype,
                 use_pallas=self.use_pallas,
+                split_last=split_t,
                 name=f"conv{i}",
             )(h, x, edges, z, masks)
 

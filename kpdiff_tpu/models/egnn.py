@@ -33,6 +33,35 @@ import jax.numpy as jnp
 from kpdiff_tpu.models.nn import MLP, xavier_uniform_scaled
 
 
+# ---------------------------------------------------------------------------
+# Split t-channel math (MXU alignment).
+#
+# The reference appends the timestep as an extra feature channel, making the
+# working width hidden_nf+1 (257 for the shipped 256-wide configs —
+# dynamics.py:336-339). 257-wide matmuls pad to 384 lanes / 2x256 contraction
+# tiles on the MXU (~2-3x the FLOP-time of aligned 256). These helpers
+# compute the SAME y = x @ W (+ b) by block-partitioning W so the only MXU
+# matmul is main-width aligned; the last input/output channel rides as a
+# rank-1 row / VPU reduction. Exact up to float reassociation.
+# ---------------------------------------------------------------------------
+
+
+def _smatmul(xm, xe, w, b=None):
+    """x=(xm|xe) @ w, w: (fm+1, hm+1) -> (ym (…,hm), ye (…,1))."""
+    ym = xm @ w[:-1, :-1] + xe * w[-1:, :-1]
+    ye = jnp.einsum("...i,i->...", xm, w[:-1, -1])[..., None] + xe * w[-1, -1]
+    if b is not None:
+        ym = ym + b[:-1]
+        ye = ye + b[-1]
+    return ym, ye
+
+
+def _smatvec(xm, xe, w, b=None):
+    """x=(xm|xe) @ w, w: (fm+1, 1) -> (…, 1) scalar output (attn/coord_out)."""
+    y = jnp.einsum("...i,i->...", xm, w[:-1, 0])[..., None] + xe * w[-1, 0]
+    return y if b is None else y + b
+
+
 class EGNNEdgeDense(nn.Module):
     """EGNN messages for one edge type over a dense (B, Ns, Nd) pair grid.
 
@@ -54,6 +83,7 @@ class EGNNEdgeDense(nn.Module):
     edge_feat_size: int = 0
     dtype: str = "float32"  # compute dtype for the pair MLPs (mixed precision)
     use_pallas: bool = False  # fused VMEM kernel (forward-only; sampling path)
+    split_last: bool = False  # MXU-align hidden_nf+1 widths via _smatmul (exact)
 
     def _linear_params(self, name, d_in, d_out):
         w = self.param(f"{name}_w", nn.initializers.variance_scaling(1 / 3, "fan_in", "uniform"), (d_in, d_out))
@@ -108,19 +138,24 @@ class EGNNEdgeDense(nn.Module):
             and edge_feat is None
         )
         if pallas_ok:
-            from kpdiff_tpu.ops.pallas.egnn_edge import fused_dense_edge
+            from kpdiff_tpu.ops.pallas.egnn_edge import fused_dense_edge_split
 
-            # fold the hidden-layer biases into the destination projections,
-            # and the lin2/attn biases are passed through fused as extra rows
-            a_e_s = h_src @ e_ws
-            a_e_d = h_dst @ e_wd + e_b
-            a_c_s = h_src @ c_ws
-            a_c_d = h_dst @ c_wd + c_b
+            # the fused kernel always runs the split (MXU-aligned) layout:
+            # per-node first-layer projections here (cheap), whole per-pair
+            # pipeline in VMEM there. First-layer bias folds into the dst
+            # projections.
+            hs_m, hs_e = h_src[..., :-1], h_src[..., -1:]
+            hd_m, hd_e = h_dst[..., :-1], h_dst[..., -1:]
+            ae_s_m, ae_s_e = _smatmul(hs_m, hs_e, e_ws)
+            ae_d_m, ae_d_e = _smatmul(hd_m, hd_e, e_wd, e_b)
+            ac_s_m, ac_s_e = _smatmul(hs_m, hs_e, c_ws)
+            ac_d_m, ac_d_e = _smatmul(hd_m, hd_e, c_wd, c_b)
             c2_w, c2_b = c2[0]
-            return fused_dense_edge(
-                a_e_s, a_e_d, a_c_s, a_c_d,
+            return fused_dense_edge_split(
+                ae_s_m, ae_s_e, ae_d_m, ae_d_e,
+                ac_s_m, ac_s_e, ac_d_m, ac_d_e,
                 e_wdij, c_wdij,
-                l2_w, l2_b, at_w, at_b[None], c2_w, c2_b, w_out,
+                l2_w, l2_b, at_w, at_b, c2_w, c2_b, w_out,
                 x_src, x_dst, adj,
                 use_tanh=self.use_tanh,
                 coords_range=self.coords_range,
@@ -132,24 +167,71 @@ class EGNNEdgeDense(nn.Module):
         diff = jnp.where(adj[..., None], diff, 0.0)
         dij = jnp.linalg.norm(diff + 1e-30, axis=-1, keepdims=True)  # (B,Ns,Nd,1)
         x_unit = diff / (dij + 1.0)
+        scalars_in = dij if edge_feat is None else jnp.concatenate([dij, edge_feat], axis=-1)
+
+        if self.split_last:
+            # --- MXU-aligned path: last feature channel (timestep) rides as
+            # a separate (…,1) lane; all pair matmuls stay at hidden-1 width.
+            hs_m, hs_e = h_src[..., :-1].astype(cd), h_src[..., -1:].astype(cd)
+            hd_m, hd_e = h_dst[..., :-1].astype(cd), h_dst[..., -1:].astype(cd)
+            sc = scalars_in.astype(cd)
+
+            def pair_preact_split(w_s, w_d, w_dij, b):
+                # per-node projections (cheap), then broadcast-add per pair
+                s_m, s_e = _smatmul(hs_m, hs_e, w_s.astype(cd))
+                d_m, d_e = _smatmul(hd_m, hd_e, w_d.astype(cd))
+                pm = (s_m[:, :, None, :] + d_m[:, None, :, :]
+                      + sc @ w_dij[:, :-1].astype(cd) + b[:-1].astype(cd))
+                pe = (s_e[:, :, None, :] + d_e[:, None, :, :]
+                      + sc @ w_dij[:, -1:].astype(cd) + b[-1].astype(cd))
+                return pm, pe
+
+            m_m, m_e = pair_preact_split(e_ws, e_wd, e_wdij, e_b)
+            m_m, m_e = nn.silu(m_m), nn.silu(m_e)
+            m_m, m_e = _smatmul(m_m, m_e, l2_w.astype(cd), l2_b.astype(cd))
+            m_m, m_e = nn.silu(m_m), nn.silu(m_e)
+            gate = nn.sigmoid(_smatvec(m_m, m_e, at_w.astype(cd), at_b.astype(cd)))
+            msg_m, msg_e = m_m * gate, m_e * gate
+
+            adj_f = adj.astype(msg_m.dtype)
+            agg_h = jnp.concatenate([
+                jnp.einsum("bsd,bsdh->bdh", adj_f, msg_m, preferred_element_type=jnp.float32),
+                jnp.einsum("bsd,bsdh->bdh", adj_f, msg_e, preferred_element_type=jnp.float32),
+            ], axis=-1)
+            if not self.compute_coord:
+                return agg_h, jnp.zeros_like(x_dst)
+
+            c_m, c_e = pair_preact_split(c_ws, c_wd, c_wdij, c_b)
+            c_m, c_e = nn.silu(c_m), nn.silu(c_e)
+            for cw, cb in c2:
+                c_m, c_e = _smatmul(c_m, c_e, cw.astype(cd), cb.astype(cd))
+                c_m, c_e = nn.silu(c_m), nn.silu(c_e)
+            scalar = _smatvec(c_m, c_e, w_out.astype(cd)).astype(jnp.float32)
+            if self.use_tanh:
+                msg_x = jnp.tanh(scalar) * x_unit * self.coords_range
+            else:
+                msg_x = scalar * x_unit
+            agg_x = jnp.einsum("bsd,bsdc->bdc", adj.astype(msg_x.dtype), msg_x)
+            return agg_h, agg_x
 
         def pair_preact(w_s, w_d, w_dij, b):
-            scalars = dij if edge_feat is None else jnp.concatenate([dij, edge_feat], axis=-1)
             return (
                 (h_src.astype(cd) @ w_s.astype(cd))[:, :, None, :]
                 + (h_dst.astype(cd) @ w_d.astype(cd))[:, None, :, :]
-                + scalars.astype(cd) @ w_dij.astype(cd)
+                + scalars_in.astype(cd) @ w_dij.astype(cd)
                 + b.astype(cd)
             )
 
-        # feature messages: Linear→SiLU→Linear→SiLU, then sigmoid gate
+        # feature messages: Linear→SiLU→Linear→SiLU, then sigmoid gate.
+        # The gate is folded into the aggregation coefficients so the gated
+        # message tensor never materializes in HBM (saves 2 full pair-tensor
+        # passes per chain; the sampler is HBM-bandwidth-bound).
         m = nn.silu(pair_preact(e_ws, e_wd, e_wdij, e_b))
         m = nn.silu(m @ l2_w.astype(cd) + l2_b.astype(cd))
         gate = nn.sigmoid(m @ at_w.astype(cd) + at_b.astype(cd))
-        msg_h = m * gate
 
-        adj_f = adj.astype(msg_h.dtype)
-        agg_h = jnp.einsum("bsd,bsdh->bdh", adj_f, msg_h, preferred_element_type=jnp.float32)
+        coeff = adj.astype(m.dtype) * gate[..., 0]
+        agg_h = jnp.einsum("bsd,bsdh->bdh", coeff, m, preferred_element_type=jnp.float32)
 
         if not self.compute_coord:
             return agg_h, jnp.zeros_like(x_dst)
@@ -160,10 +242,11 @@ class EGNNEdgeDense(nn.Module):
         # xavier_uniform with gain 0.001 on the output layer (dynamics.py:69-70)
         scalar = (c @ w_out.astype(c.dtype)).astype(jnp.float32)  # (B,Ns,Nd,1)
         if self.use_tanh:
-            msg_x = jnp.tanh(scalar) * x_unit * self.coords_range
-        else:
-            msg_x = scalar * x_unit
-        agg_x = jnp.einsum("bsd,bsdc->bdc", adj.astype(msg_x.dtype), msg_x)
+            scalar = jnp.tanh(scalar) * self.coords_range
+        # fold scalar, adj and the (d+1) normalizer into one coefficient and
+        # aggregate the raw diffs: x_unit/msg_x never materialize
+        coeff_x = adj.astype(jnp.float32) * scalar[..., 0] / (dij[..., 0] + 1.0)
+        agg_x = jnp.einsum("bsd,bsdc->bdc", coeff_x, diff)
         return agg_h, agg_x
 
 
@@ -187,6 +270,7 @@ class EGNNEdgeKNNPairs(nn.Module):
     use_tanh: bool = False
     coords_range: float = 10.0
     dtype: str = "float32"
+    split_last: bool = False  # MXU-align hidden_nf+1 widths via _smatmul (exact)
 
     _linear_params = EGNNEdgeDense._linear_params
     _first_layer_params = EGNNEdgeDense._first_layer_params
@@ -230,6 +314,58 @@ class EGNNEdgeKNNPairs(nn.Module):
         diff = jnp.where(valid[..., None], diff, 0.0)
         dij = jnp.linalg.norm(diff + 1e-30, axis=-1, keepdims=True)
         x_unit = diff / (dij + 1.0)
+
+        if self.split_last:
+            ha_m, ha_e = h_anchor[..., :-1].astype(cd), h_anchor[..., -1:].astype(cd)
+            hg_m, hg_e = h_g[..., :-1].astype(cd), h_g[..., -1:].astype(cd)
+            dij_c = dij.astype(cd)
+
+            def preact_split(wa, wg, wdij, bias):
+                a_m, a_e = _smatmul(ha_m, ha_e, wa.astype(cd))
+                g_m, g_e = _smatmul(hg_m, hg_e, wg.astype(cd))
+                pm = (a_m[:, :, None, :] + g_m
+                      + dij_c * wdij[0, :-1].astype(cd) + bias[:-1].astype(cd))
+                pe = (a_e[:, :, None, :] + g_e
+                      + dij_c * wdij[0, -1].astype(cd) + bias[-1].astype(cd))
+                return pm, pe
+
+            m_m, m_e = preact_split(w_anchor, w_gathered, e_wdij, e_b)
+            m_m, m_e = nn.silu(m_m), nn.silu(m_e)
+            m_m, m_e = _smatmul(m_m, m_e, l2_w.astype(cd), l2_b.astype(cd))
+            m_m, m_e = nn.silu(m_m), nn.silu(m_e)
+            gate = nn.sigmoid(_smatvec(m_m, m_e, at_w.astype(cd), at_b.astype(cd)))
+            vmask = valid[..., None].astype(m_m.dtype)
+            msg_m, msg_e = (m_m * gate) * vmask, (m_e * gate) * vmask
+
+            c_m, c_e = preact_split(cw_anchor, cw_gathered, c_wdij, c_b)
+            c_m, c_e = nn.silu(c_m), nn.silu(c_e)
+            c_m, c_e = _smatmul(c_m, c_e, c2_w.astype(cd), c2_b.astype(cd))
+            c_m, c_e = nn.silu(c_m), nn.silu(c_e)
+            scalar = _smatvec(c_m, c_e, w_out.astype(cd)).astype(jnp.float32)
+            if self.use_tanh:
+                msg_x = jnp.tanh(scalar) * x_unit * self.coords_range
+            else:
+                msg_x = scalar * x_unit
+            msg_x = msg_x * valid[..., None]
+
+            if self.anchor_is_src:
+                onehot = (jax.nn.one_hot(idx, n_other, dtype=msg_m.dtype)
+                          * valid[..., None].astype(msg_m.dtype)).reshape(b, K * k, n_other)
+                agg_h = jnp.concatenate([
+                    jnp.einsum("ben,beh->bnh", onehot, msg_m.reshape(b, K * k, h - 1),
+                               preferred_element_type=jnp.float32),
+                    jnp.einsum("ben,beh->bnh", onehot, msg_e.reshape(b, K * k, 1),
+                               preferred_element_type=jnp.float32),
+                ], axis=-1)
+                agg_x = jnp.einsum("ben,bec->bnc", onehot.astype(jnp.float32),
+                                   msg_x.reshape(b, K * k, 3))
+                return agg_h, agg_x
+            agg_h = jnp.concatenate([
+                jnp.sum(msg_m.astype(jnp.float32), axis=2),
+                jnp.sum(msg_e.astype(jnp.float32), axis=2),
+            ], axis=-1)
+            agg_x = jnp.sum(msg_x, axis=2)
+            return agg_h, agg_x
 
         def preact(wa, wg, wdij, bias):
             return (
@@ -281,6 +417,7 @@ class EGNNEdgeNbrList(nn.Module):
     compute_coord: bool = True
     edge_feat_size: int = 0
     dtype: str = "float32"
+    split_last: bool = False  # MXU-align hidden_nf+1 widths via _smatmul (exact)
 
     _linear_params = EGNNEdgeDense._linear_params
     _first_layer_params = EGNNEdgeDense._first_layer_params
@@ -314,6 +451,44 @@ class EGNNEdgeNbrList(nn.Module):
         diff = jnp.where(nbr_valid[..., None], diff, 0.0)
         dij = jnp.linalg.norm(diff + 1e-30, axis=-1, keepdims=True)
         x_unit = diff / (dij + 1.0)
+
+        if self.split_last:
+            hn_m, hn_e = h_nbr[..., :-1].astype(cd), h_nbr[..., -1:].astype(cd)
+            hd_m, hd_e = h_dst[..., :-1].astype(cd), h_dst[..., -1:].astype(cd)
+            sc = (dij if edge_feat is None
+                  else jnp.concatenate([dij, edge_feat], axis=-1)).astype(cd)
+
+            def preact_split(w_s, w_d, w_dij, bias):
+                n_m, n_e = _smatmul(hn_m, hn_e, w_s.astype(cd))
+                d_m, d_e = _smatmul(hd_m, hd_e, w_d.astype(cd))
+                pm = n_m + d_m[:, :, None, :] + sc @ w_dij[:, :-1].astype(cd) + bias[:-1].astype(cd)
+                pe = n_e + d_e[:, :, None, :] + sc @ w_dij[:, -1:].astype(cd) + bias[-1].astype(cd)
+                return pm, pe
+
+            m_m, m_e = preact_split(e_ws, e_wd, e_wdij, e_b)
+            m_m, m_e = nn.silu(m_m), nn.silu(m_e)
+            m_m, m_e = _smatmul(m_m, m_e, l2_w.astype(cd), l2_b.astype(cd))
+            m_m, m_e = nn.silu(m_m), nn.silu(m_e)
+            gate = nn.sigmoid(_smatvec(m_m, m_e, at_w.astype(cd), at_b.astype(cd)))
+            valid_f = nbr_valid[..., None].astype(m_m.dtype)
+            agg_h = jnp.concatenate([
+                jnp.sum((m_m * gate * valid_f).astype(jnp.float32), axis=2),
+                jnp.sum((m_e * gate * valid_f).astype(jnp.float32), axis=2),
+            ], axis=-1)
+            if not self.compute_coord:
+                return agg_h, jnp.zeros_like(x_dst)
+            c_m, c_e = preact_split(c_ws, c_wd, c_wdij, c_b)
+            c_m, c_e = nn.silu(c_m), nn.silu(c_e)
+            for cw, cb in c2:
+                c_m, c_e = _smatmul(c_m, c_e, cw.astype(cd), cb.astype(cd))
+                c_m, c_e = nn.silu(c_m), nn.silu(c_e)
+            scalar = _smatvec(c_m, c_e, w_out.astype(cd)).astype(jnp.float32)
+            if self.use_tanh:
+                msg_x = jnp.tanh(scalar) * x_unit * self.coords_range
+            else:
+                msg_x = scalar * x_unit
+            agg_x = jnp.sum(msg_x * nbr_valid[..., None].astype(msg_x.dtype), axis=2)
+            return agg_h, agg_x
 
         def pair_preact(w_s, w_d, w_dij, b):
             scalars = dij if edge_feat is None else jnp.concatenate([dij, edge_feat], axis=-1)

@@ -1,21 +1,34 @@
-"""Pallas TPU kernel: fused dense EGNN edge messages + aggregation.
+"""Pallas TPU kernel: fully fused dense EGNN edge messages + aggregation.
 
-The XLA path materializes three (B, Ns, Nd, H) pair tensors in HBM per
-edge type per layer (edge hidden, coord hidden, gated messages). This
-kernel keeps the whole per-pair pipeline in VMEM: per-node projections go
-in, aggregated per-destination messages come out — HBM traffic drops from
-O(E*H) to O(N*H).
+Why: the XLA path materializes ~5 (B, Ns, Nd, H) pair tensors in HBM per
+edge type per layer (edge hidden x2, gated messages, coord hidden x2) —
+at the flagship shapes that is ~18 GB of HBM traffic per reverse-diffusion
+step, which is the measured wall (the sampler runs at ~5% MXU utilization
+under XLA). This kernel keeps the whole per-pair pipeline in VMEM: per-node
+first-layer projections go in, aggregated per-destination messages come
+out. HBM traffic drops from O(E*H) to O(N*H).
 
-Layout: one grid cell per batch element (node sets here are <= ~128, so a
-full Ns x Nd pair block fits VMEM comfortably: 48*48*264*2B ~ 1.2 MB per
-bf16 pair tensor). Inputs are the FACTORIZED first-layer projections
-(a_src = h_src @ W_src, a_dst = h_dst @ W_dst + b), so the kernel does the
-per-pair work only: broadcast-add + dij term, SiLU, HxH matmul, gate,
-coord MLP, masked reduce.
+Layout decisions (v2 — the round-1 kernel lost to XLA ~2x):
+  * The timestep channel makes the reference's working width hidden_nf+1
+    (257 — dynamics.py:336-339), which pads to 384 lanes on the MXU. The
+    caller splits features into an aligned main block (256) and a separate
+    extra lane; in-kernel matmuls run at the aligned width and the extra
+    channel rides as (Ns, Nd) planes via rank-1 rows + VPU lane reductions
+    (exact block-partitioned matmul, same as models/egnn.py::_smatmul).
+  * Coordinates are three separate (Ns, Nd) planes instead of (Ns, Nd, 3)
+    tensors (lane dim 3 would waste 125/128 VPU lanes); per-pair scalars
+    (dij, gate, coord scalar, extra channel) are (Ns, Nd) planes too.
+  * Reshapes only collapse leading dims ((Ns,Nd,Hm) <-> (Ns*Nd,Hm)), never
+    the minor dim — Mosaic relayouts are avoided entirely.
+  * One grid cell per batch element; weights use constant index maps so
+    the pipeline fetches them once.
 
-Numerics match models/egnn.py::EGNNEdgeDense (same dij definition, (d+1)
-normalization, tanh*coords_range clamp) — verified by
+Numerics match models/egnn.py::EGNNEdgeDense (same dij = |diff + 1e-30|
+definition, (d+1) normalization, tanh*coords_range clamp) — verified by
 tests/test_pallas_egnn.py against the XLA path.
+
+Forward-only (no VJP): used by the sampling path; training keeps the XLA
+edge modules.
 """
 from __future__ import annotations
 
@@ -27,92 +40,127 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _silu(x):
+    """x * sigmoid(x) via the TPU's fast native tanh (sigmoid(x) =
+    0.5*tanh(x/2)+0.5 — also how XLA lowers logistic on TPU; the exp+divide
+    form is several times slower on the VPU). Constants are created in x's
+    dtype: f32 scalar constants broadcast into bf16 vectors trip a Mosaic
+    verifier ('vector.broadcast' element-type mismatch)."""
+    half = jnp.full((), 0.5, x.dtype)
+    return x * (half * jnp.tanh(x * half) + half)
+
+
 def _kernel(
-    a_e_s_ref, a_e_d_ref, a_c_s_ref, a_c_d_ref,
-    w_e_dij_ref, w_c_dij_ref,
-    W2e_ref, b2e_ref, w_attn_ref, b_attn_ref, W2c_ref, b2c_ref, w_cout_ref,
+    # per-node factorized first-layer projections (first-layer bias folded
+    # into the *_d projections by the caller); extras as (N, 1) columns
+    ae_s_m_ref, ae_s_e_ref, ae_d_m_ref, ae_d_e_ref,
+    ac_s_m_ref, ac_s_e_ref, ac_d_m_ref, ac_d_e_ref,
+    # dij rows of the first layers: (1, Hm) main + (1, 1) extra
+    we_dij_m_ref, we_dij_e_ref, wc_dij_m_ref, wc_dij_e_ref,
+    # second-layer blocks: main (Hm,Hm), row (1,Hm), col (1,Hm) [transposed],
+    # corner (1,1); biases (1,Hm)/(1,1)
+    W2e_mm_ref, w2e_row_ref, w2e_col_ref, w2e_cc_ref, b2e_m_ref, b2e_e_ref,
+    atw_m_ref, atw_e_ref, atb_ref,
+    W2c_mm_ref, w2c_row_ref, w2c_col_ref, w2c_cc_ref, b2c_m_ref, b2c_e_ref,
+    wout_m_ref, wout_e_ref,
     x_s_ref, x_d_ref, adj_ref,
-    agg_h_ref, agg_x_ref,
-    *, use_tanh: bool, coords_range: float, compute_coord: bool, acc_dtype,
+    agg_h_m_ref, agg_h_e_ref, agg_x_ref,
+    *, use_tanh: bool, coords_range: float, acc_dtype,
 ):
-    # batched refs carry a leading block dim of 1
-    ns, H = a_e_s_ref.shape[1], a_e_s_ref.shape[2]
-    nd = a_e_d_ref.shape[1]
-
-    x_s = x_s_ref[0]
-    x_d = x_d_ref[0]
-    adj = adj_ref[0]  # (Ns, Nd) f32 mask (Mosaic cannot reshape 8-bit minor dims)
-
-    diff = x_s[:, None, :] - x_d[None, :, :]  # (Ns, Nd, 3)
-    adj_b = adj[..., None] > 0
-    diff = jnp.where(adj_b, diff, 0.0)
-    dij = jnp.sqrt(jnp.sum(jnp.square(diff + 1e-30), axis=-1, keepdims=True))  # (Ns,Nd,1)
-    x_unit = diff / (dij + 1.0)
-
-    # Mosaic note: bf16 3D broadcasts trip a verifier bug ('vector.broadcast'
-    # element-type mismatch) on this toolchain; elementwise work stays f32
-    # (VPU), only the 2D matmul operands are cast to the accumulate dtype.
+    ns, hm = ae_s_m_ref.shape[1], ae_s_m_ref.shape[2]
+    nd = ae_d_m_ref.shape[1]
     cd = acc_dtype
-    a_e_s = a_e_s_ref[0]
-    a_e_d = a_e_d_ref[0]
-    w_e_dij = w_e_dij_ref[:]  # (1, H)
 
-    pre_e = a_e_s[:, None, :] + a_e_d[None, :, :] + dij * w_e_dij[None]
-    m = jax.nn.silu(pre_e).reshape(ns * nd, H).astype(cd)
-    m2 = jax.nn.silu(
-        jnp.dot(m, W2e_ref[:].astype(cd), preferred_element_type=jnp.float32) + b2e_ref[:]
-    )
+    adj = adj_ref[0]  # (Ns, Nd) f32 mask
+    x_s = x_s_ref[0]  # (Ns, 3)
+    x_d = x_d_ref[0]  # (Nd, 3)
+
+    # coordinate planes: (Ns, Nd) per component — lane-efficient on the VPU
+    dxs = [
+        jnp.where(adj > 0, x_s[:, c:c + 1] - x_d[:, c][None, :], 0.0) + 1e-30
+        for c in range(3)
+    ]
+    dij = jnp.sqrt(dxs[0] * dxs[0] + dxs[1] * dxs[1] + dxs[2] * dxs[2])  # (Ns,Nd)
+    inv_d1 = 1.0 / (dij + 1.0)
+
+    dij_c = dij.astype(cd)
+    # minor-dim insertion is only supported for 32-bit types: insert on the
+    # f32 plane, then cast the 3D result
+    dij3_c = dij[:, :, None].astype(cd)
+
+    def chain(a_s_m, a_s_e, a_d_m, a_d_e, wdij_m_ref, wdij_e_ref,
+              W_mm_ref, w_row_ref, w_col_ref, w_cc_ref, b_m_ref, b_e_ref):
+        """silu(first layer) -> silu(second layer), split main/extra, all
+        elementwise in the compute dtype (matches the XLA bf16 pair MLPs).
+        Returns (m2 (Ns,Nd,Hm) cd, e2 (Ns,Nd) f32)."""
+        pre_m = (a_s_m.astype(cd)[:, None, :] + a_d_m.astype(cd)[None, :, :]
+                 + dij3_c * wdij_m_ref[0].astype(cd)[None, None, :])
+        pre_e = (a_s_e.astype(cd) + a_d_e.astype(cd)[:, 0][None, :]
+                 + dij_c * wdij_e_ref[0, 0].astype(cd))  # (Ns,Nd)
+        m1 = _silu(pre_m)
+        e1 = _silu(pre_e)
+        m2 = jnp.dot(
+            m1.reshape(ns * nd, hm), W_mm_ref[:].astype(cd),
+            preferred_element_type=jnp.float32,
+        ).reshape(ns, nd, hm)
+        m2 = (m2 + e1.astype(jnp.float32)[:, :, None] * w_row_ref[0][None, None, :]
+              + b_m_ref[0][None, None, :]).astype(cd)
+        e2 = (jnp.sum((m1 * w_col_ref[0].astype(cd)[None, None, :]).astype(jnp.float32), axis=-1)
+              + e1.astype(jnp.float32) * w_cc_ref[0, 0] + b_e_ref[0, 0])
+        return _silu(m2), _silu(e2)
+
+    # ---- feature messages + sigmoid soft-attention gate
+    m2, e2 = chain(ae_s_m_ref[0], ae_s_e_ref[0], ae_d_m_ref[0], ae_d_e_ref[0],
+                   we_dij_m_ref, we_dij_e_ref,
+                   W2e_mm_ref, w2e_row_ref, w2e_col_ref, w2e_cc_ref, b2e_m_ref, b2e_e_ref)
     gate = jax.nn.sigmoid(
-        jnp.dot(m2.astype(cd), w_attn_ref[:].astype(cd), preferred_element_type=jnp.float32) + b_attn_ref[:]
-    )
-    msg_h = (m2 * gate).reshape(ns, nd, H)
+        jnp.sum((m2 * atw_m_ref[0].astype(cd)[None, None, :]).astype(jnp.float32), axis=-1)
+        + e2 * atw_e_ref[0, 0] + atb_ref[0, 0]
+    ) * adj  # fold the adjacency mask into the gate: one multiply
+    # sublane reductions to (1, N) are unsupported by Mosaic — use a
+    # ones-row matmul for the S-axis sums of 2D planes
+    ones_s = jnp.ones((1, ns), jnp.float32)
+    agg_h_m_ref[0] = jnp.sum(m2.astype(jnp.float32) * gate[:, :, None], axis=0)
+    agg_h_e_ref[0] = jnp.dot(ones_s, e2 * gate, preferred_element_type=jnp.float32)
 
-    adj_f = adj
-    agg_h_ref[0] = jnp.sum(msg_h * adj_f[..., None], axis=0)
-
-    if compute_coord:
-        a_c_s = a_c_s_ref[0]
-        a_c_d = a_c_d_ref[0]
-        w_c_dij = w_c_dij_ref[:]
-        pre_c = a_c_s[:, None, :] + a_c_d[None, :, :] + dij * w_c_dij[None]
-        c = jax.nn.silu(pre_c).reshape(ns * nd, H).astype(cd)
-        c2 = jax.nn.silu(
-            jnp.dot(c, W2c_ref[:].astype(cd), preferred_element_type=jnp.float32) + b2c_ref[:]
-        )
-        scalar = jnp.dot(c2.astype(cd), w_cout_ref[:].astype(cd), preferred_element_type=jnp.float32)
-        scalar = scalar.reshape(ns, nd, 1)
-        if use_tanh:
-            msg_x = jnp.tanh(scalar) * x_unit * coords_range
-        else:
-            msg_x = scalar * x_unit
-        agg_x_ref[0] = jnp.sum(msg_x * adj_f[..., None], axis=0)
-    else:
-        agg_x_ref[0] = jnp.zeros((nd, 3), jnp.float32)
+    # ---- coordinate messages
+    c2, ce2 = chain(ac_s_m_ref[0], ac_s_e_ref[0], ac_d_m_ref[0], ac_d_e_ref[0],
+                    wc_dij_m_ref, wc_dij_e_ref,
+                    W2c_mm_ref, w2c_row_ref, w2c_col_ref, w2c_cc_ref, b2c_m_ref, b2c_e_ref)
+    scalar = (jnp.sum((c2 * wout_m_ref[0].astype(cd)[None, None, :]).astype(jnp.float32), axis=-1)
+              + ce2 * wout_e_ref[0, 0])
+    if use_tanh:
+        scalar = jnp.tanh(scalar) * coords_range
+    scalar = scalar * adj * inv_d1
+    agg_x_ref[0] = jnp.concatenate(
+        [jnp.dot(ones_s, scalar * d, preferred_element_type=jnp.float32) for d in dxs],
+        axis=0,
+    )  # (3, Nd); transposed to (Nd, 3) by the caller
 
 
-def fused_dense_edge(
-    a_e_s, a_e_d, a_c_s, a_c_d,  # (B, Ns/Nd, H): factorized first-layer projections (first bias folded into *_d)
-    w_e_dij, w_c_dij,  # (1, H)
-    W2e, b2e, w_attn, b_attn, W2c, b2c, w_cout,  # (H,H), (H,), (H,1), (1,1), (H,H), (H,), (H,1)
+def fused_dense_edge_split(
+    ae_s_m, ae_s_e, ae_d_m, ae_d_e,  # (B,Ns,Hm)/(B,Ns,1)/(B,Nd,Hm)/(B,Nd,1)
+    ac_s_m, ac_s_e, ac_d_m, ac_d_e,
+    e_wdij, c_wdij,  # (1, Hm+1) first-layer dij rows (split here)
+    l2_w, l2_b, at_w, at_b,  # (Hm+1,Hm+1), (Hm+1,), (Hm+1,1), (1,)
+    c2_w, c2_b, w_out,  # (Hm+1,Hm+1), (Hm+1,), (Hm+1,1)
     x_s, x_d,  # (B, Ns/Nd, 3) f32
     adj,  # (B, Ns, Nd) bool
     use_tanh: bool,
     coords_range: float,
-    compute_coord: bool = True,
     compute_dtype=jnp.bfloat16,
     interpret: bool = False,
 ):
-    b, ns, H = a_e_s.shape
-    nd = a_e_d.shape[1]
+    """Returns (agg_h (B,Nd,Hm+1) f32, agg_x (B,Nd,3) f32)."""
+    b, ns, hm = ae_s_m.shape
+    nd = ae_d_m.shape[1]
 
-    # interpret mode off-TPU (tests run on the host platform)
     interpret = interpret or jax.default_backend() != "tpu"
 
     kernel = functools.partial(
         _kernel,
         use_tanh=use_tanh,
         coords_range=float(coords_range),
-        compute_coord=compute_coord,
         acc_dtype=jnp.dtype(compute_dtype),
     )
 
@@ -122,28 +170,41 @@ def fused_dense_edge(
     def shared(shape):
         return pl.BlockSpec(shape, lambda i: tuple([0] * len(shape)), memory_space=pltpu.VMEM)
 
-    agg_h, agg_x = pl.pallas_call(
+    f32 = jnp.float32
+    agg_h_m, agg_h_e, agg_x3 = pl.pallas_call(
         kernel,
         grid=(b,),
         in_specs=[
-            batched((ns, H)), batched((nd, H)), batched((ns, H)), batched((nd, H)),
-            shared((1, H)), shared((1, H)),
-            shared((H, H)), shared((1, H)), shared((H, 1)), shared((1, 1)),
-            shared((H, H)), shared((1, H)), shared((H, 1)),
+            batched((ns, hm)), batched((ns, 1)), batched((nd, hm)), batched((nd, 1)),
+            batched((ns, hm)), batched((ns, 1)), batched((nd, hm)), batched((nd, 1)),
+            shared((1, hm)), shared((1, 1)), shared((1, hm)), shared((1, 1)),
+            shared((hm, hm)), shared((1, hm)), shared((1, hm)), shared((1, 1)),
+            shared((1, hm)), shared((1, 1)),
+            shared((1, hm)), shared((1, 1)), shared((1, 1)),
+            shared((hm, hm)), shared((1, hm)), shared((1, hm)), shared((1, 1)),
+            shared((1, hm)), shared((1, 1)),
+            shared((1, hm)), shared((1, 1)),
             batched((ns, 3)), batched((nd, 3)),
             batched((ns, nd)),
         ],
-        out_specs=[batched((nd, H)), batched((nd, 3))],
+        out_specs=[batched((nd, hm)), batched((1, nd)), batched((3, nd))],
         out_shape=[
-            jax.ShapeDtypeStruct((b, nd, H), jnp.float32),
-            jax.ShapeDtypeStruct((b, nd, 3), jnp.float32),
+            jax.ShapeDtypeStruct((b, nd, hm), f32),
+            jax.ShapeDtypeStruct((b, 1, nd), f32),
+            jax.ShapeDtypeStruct((b, 3, nd), f32),
         ],
         interpret=interpret,
     )(
-        a_e_s, a_e_d, a_c_s, a_c_d,
-        w_e_dij, w_c_dij,
-        W2e, b2e.reshape(1, -1), w_attn, b_attn.reshape(1, 1),
-        W2c, b2c.reshape(1, -1), w_cout,
-        x_s, x_d, adj.astype(jnp.float32),
+        ae_s_m, ae_s_e, ae_d_m, ae_d_e,
+        ac_s_m, ac_s_e, ac_d_m, ac_d_e,
+        e_wdij[:, :-1], e_wdij[:, -1:], c_wdij[:, :-1], c_wdij[:, -1:],
+        l2_w[:-1, :-1], l2_w[-1:, :-1], l2_w[:-1, -1].reshape(1, -1), l2_w[-1:, -1:],
+        l2_b[None, :-1], l2_b[None, -1:],
+        at_w[:-1, 0].reshape(1, -1), at_w[-1:, :], at_b[None, :],
+        c2_w[:-1, :-1], c2_w[-1:, :-1], c2_w[:-1, -1].reshape(1, -1), c2_w[-1:, -1:],
+        c2_b[None, :-1], c2_b[None, -1:],
+        w_out[:-1, 0].reshape(1, -1), w_out[-1:, :],
+        x_s, x_d, adj.astype(f32),
     )
-    return agg_h, agg_x
+    agg_h = jnp.concatenate([agg_h_m, jnp.swapaxes(agg_h_e, 1, 2)], axis=-1)
+    return agg_h, jnp.swapaxes(agg_x3, 1, 2)

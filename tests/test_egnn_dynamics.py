@@ -152,3 +152,38 @@ def test_sampler_shapes_and_frame_restoration():
         lig = np.asarray(out["lig_x"][b][np.asarray(cpx.lig_mask[b])])
         kp_com = np.asarray(enc.kp_x[b][np.asarray(enc.kp_mask[b])]).mean(0)
         assert np.linalg.norm(lig.mean(0) - kp_com) < 50.0
+
+
+def test_compact_kk_exact():
+    """compact_kk rebuilds the dense kk adjacency as a capped neighbor list
+    with cap >= max degree — the EXACT same edge set, so sampling results
+    must match the dense layout (up to summation order)."""
+    import jax.numpy as jnp
+
+    model = small_model(update_kp_feat=True, message_norm=0)
+    cpx = synthetic_batch(21, batch=2, n_rec_pad=32, n_lig_pad=10, n_kp=8,
+                          kp_feat_dim=16, min_rec=20)
+    params = model.init(jax.random.key(0), cpx)
+    enc, kk = model.encode(params, cpx)
+    assert isinstance(kk, jnp.ndarray) and kk.ndim == 3  # dense layout
+
+    kk_c = model.compact_kk(enc, kk)
+    # same edge set
+    idx, valid = kk_c if isinstance(kk_c, tuple) else (None, None)
+    if idx is not None:
+        K = kk.shape[-1]
+        dense_from_nbr = np.zeros(np.asarray(kk).shape, bool)
+        iv, vv = np.asarray(idx), np.asarray(valid)
+        for b in range(iv.shape[0]):
+            for d in range(iv.shape[1]):
+                for j in range(iv.shape[2]):
+                    if vv[b, d, j]:
+                        dense_from_nbr[b, iv[b, d, j], d] = True
+        np.testing.assert_array_equal(dense_from_nbr, np.asarray(kk))
+
+    out_d = model.sample(params, jax.random.key(1), enc, kk)
+    out_c = model.sample(params, jax.random.key(1), enc, kk_c)
+    np.testing.assert_allclose(np.asarray(out_c["lig_x"]), np.asarray(out_d["lig_x"]),
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(out_c["lig_h"]), np.asarray(out_d["lig_h"]),
+                               rtol=1e-3, atol=1e-3)

@@ -101,3 +101,39 @@ def test_transition_algebra_vs_torch():
     np.testing.assert_allclose(
         np.asarray(s2), np.asarray(sig_t**2 - (a_ts**2) * sig_s**2), rtol=5e-2, atol=1e-5
     )
+
+
+def test_noise_schedule_config_selectable():
+    """diffusion.noise_schedule flows from YAML config into the model
+    (reference builds PredefinedNoiseSchedule(noise_schedule, ...) from
+    config — ligand_diffuser.py:55,654-690). Previously hardcoded."""
+    from kpdiff_tpu.config import model_from_config
+
+    base = {
+        "dataset": {"rec_elements": ["C", "N", "O"], "lig_elements": ["C", "N", "O"],
+                    "max_fake_atom_frac": 0.0},
+        "graph": {"n_keypoints": 4, "graph_cutoffs": {"rr": 3.5, "rk": 100, "kk": 8, "kl": 8, "ll": 5}},
+        "rec_encoder": {"n_convs": 1, "hidden_n_node_feat": 8, "out_n_node_feat": 8,
+                        "message_norm": 1, "k_closest": 2},
+        "diffusion": {"n_timesteps": 25, "precision": 1e-5, "architecture": "egnn",
+                      "rec_encoder_type": "learned", "noise_schedule": "cosine"},
+        "dynamics": {"n_layers": 1, "hidden_nf": 8, "message_norm": 1, "kl_k": 2},
+        "rec_encoder_loss": {"loss_type": "none"},
+    }
+    m_cos = model_from_config(base)
+    golden = NoiseSchedule.create("cosine", 25, 1e-5)
+    np.testing.assert_array_equal(np.asarray(m_cos.schedule.gamma_table),
+                                  np.asarray(golden.gamma_table))
+
+    base["diffusion"]["noise_schedule"] = "polynomial_2"
+    m_poly = model_from_config(base)
+    poly = NoiseSchedule.create("polynomial_2", 25, 1e-5)
+    np.testing.assert_array_equal(np.asarray(m_poly.schedule.gamma_table),
+                                  np.asarray(poly.gamma_table))
+    assert not np.allclose(np.asarray(m_cos.schedule.gamma_table),
+                           np.asarray(m_poly.schedule.gamma_table))
+
+    # default when the key is absent stays polynomial_2
+    del base["diffusion"]["noise_schedule"]
+    np.testing.assert_array_equal(np.asarray(model_from_config(base).schedule.gamma_table),
+                                  np.asarray(poly.gamma_table))
