@@ -113,4 +113,9 @@ def ot_loss(
         raise ValueError(method)
     plan = jax.lax.stop_gradient(plan)  # reference detaches the plan (rec_encoder_loss.py:12-17)
     per_graph = jnp.sum(plan * cost, axis=(1, 2))
-    return jnp.mean(per_graph)
+    # repeat-padded batch rows (PaddedLoader final partial batch) have empty
+    # masks; the reference never sees empty graphs — exclude them from the
+    # mean instead of letting a degenerate plan poison it
+    valid = (jnp.sum(pts_mask, axis=1) > 0) & (jnp.sum(kp_mask, axis=1) > 0)
+    per_graph = jnp.where(valid, per_graph, 0.0)
+    return jnp.sum(per_graph) / jnp.maximum(jnp.sum(valid), 1)

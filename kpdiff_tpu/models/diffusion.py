@@ -208,7 +208,7 @@ class KeypointDiffusion:
         )
 
     def compact_kk(self, cpx: PaddedComplex, kk, align: int = 8):
-        """Exact capped neighbor-list kk for sampling (EGNN dense kk only).
+        """Exact capped neighbor-list kk for sampling (dense kk layouts).
 
         kk edges are static per pocket (built once by the encoder) while the
         40x40 dense kk pair grid dominates flagship step time, yet the true
@@ -221,7 +221,7 @@ class KeypointDiffusion:
         """
         import jax as _jax
 
-        if self.cfg.architecture != "egnn" or not isinstance(kk, jnp.ndarray) or kk.ndim != 3:
+        if not isinstance(kk, jnp.ndarray) or kk.ndim != 3:
             return kk
         K = kk.shape[-1]
         deg = int(_jax.device_get(jnp.max(jnp.sum(kk, axis=-1))))

@@ -23,13 +23,15 @@ from kpdiff_tpu.models.gvp import (
     GVP,
     GVPChain,
     GVPEdgeMessagesDense,
+    GVPEdgeMessagesKNNPairs,
     GVPEdgeMessagesNbr,
     GVPLayerNorm,
     _update_specs,
+    flatten_vec,
     gvp_dropout,
 )
 from kpdiff_tpu.models.nn import TorchLinear
-from kpdiff_tpu.ops.neighbors import dense_knn_adjacency, dense_radius_adjacency
+from kpdiff_tpu.ops.neighbors import dense_knn_adjacency, dense_radius_adjacency, knn_indices
 
 
 class GVPMultiEdgeConvDense(nn.Module):
@@ -46,9 +48,11 @@ class GVPMultiEdgeConvDense(nn.Module):
     rbf_dmax: float = 15.0
     rbf_dim: int = 16
     dtype: str = "float32"
+    vec_layout: str = "vc"  # 'flat': node vectors are (..., 3V) v-major
 
     @nn.compact
     def __call__(self, node_data, adj, masks, deterministic: bool = True):
+        flat = self.vec_layout == "flat"
         # node_data: ntype -> (scalars, pos, vectors); adj: 'll','kl','lk','kk'
         dst_ntypes = sorted({e[2] for e in self.etypes})
         agg = "mean" if self.message_norm == "mean" else "sum"
@@ -67,25 +71,41 @@ class GVPMultiEdgeConvDense(nn.Module):
                 rbf_dim=self.rbf_dim,
                 agg=agg,
                 dtype=self.dtype,
+                vec_layout=self.vec_layout,
                 name=f"message_{ename}",
             )
-            if isinstance(adj[ename], tuple) and adj[ename][0] == "block":
+            if isinstance(adj[ename], tuple) and adj[ename][0] == "pairs":
+                # kNN pair list shared by kl (anchor kp = src) and lk
+                # (anchor kp = dst): true K*kl_k edges instead of dense grids
+                _, idx, valid = adj[ename]
+                h_a, x_a, v_a = node_data["kp"]
+                h_o, x_o, v_o = node_data["lig"]
+                ds, dv = GVPEdgeMessagesKNNPairs(
+                    anchor_is_src=(src == "kp"), **common,
+                )(h_a, v_a, x_a, h_o, v_o, x_o, idx, valid)
+            elif isinstance(adj[ename], tuple) and adj[ename][0] == "block":
                 # banded block-dense windows over spatially sorted keypoints
                 from kpdiff_tpu.ops.spatial import block_windows
 
                 blk = adj[ename][1]
                 b, nt, w, tile = blk.shape
                 K = nt * tile
-                S_, V_ = h_s.shape[-1], v_s.shape[-2]
+                S_ = h_s.shape[-1]
                 hw = block_windows(h_s, tile).reshape(b * nt, w, S_)
                 xw = block_windows(x_s, tile).reshape(b * nt, w, 3)
-                vw = block_windows(v_s, tile).reshape(b * nt, w, V_, 3)
                 ht = h_d.reshape(b * nt, tile, S_)
                 xt = x_d.reshape(b * nt, tile, 3)
-                vt = v_d.reshape(b * nt, tile, V_, 3)
+                if flat:
+                    V3 = v_s.shape[-1]
+                    vw = block_windows(v_s, tile).reshape(b * nt, w, V3)
+                    vt = v_d.reshape(b * nt, tile, V3)
+                else:
+                    V_ = v_s.shape[-2]
+                    vw = block_windows(v_s, tile).reshape(b * nt, w, V_, 3)
+                    vt = v_d.reshape(b * nt, tile, V_, 3)
                 ds, dv = GVPEdgeMessagesDense(**common)(hw, vw, xw, ht, vt, xt, blk.reshape(b * nt, w, tile))
                 ds = ds.reshape(b, K, S_)
-                dv = dv.reshape(b, K, V_, 3)
+                dv = dv.reshape(b, K, V3) if flat else dv.reshape(b, K, V_, 3)
             elif isinstance(adj[ename], tuple):
                 # destination-major neighbor list (all-atom kk at pocket scale)
                 idx, valid = adj[ename]
@@ -108,6 +128,8 @@ class GVPMultiEdgeConvDense(nn.Module):
                         a = adj[etype[1]]
                         if isinstance(a, tuple) and a[0] == "block":
                             n_edges = n_edges + jnp.sum(a[1], axis=(1, 2, 3)).astype(jnp.float32)
+                        elif isinstance(a, tuple) and a[0] == "pairs":
+                            n_edges = n_edges + jnp.sum(a[2], axis=(1, 2)).astype(jnp.float32)
                         else:
                             a = a[1] if isinstance(a, tuple) else a
                             n_edges = n_edges + jnp.sum(a, axis=(1, 2)).astype(jnp.float32)
@@ -116,32 +138,38 @@ class GVPMultiEdgeConvDense(nn.Module):
                 norm = float(self.message_norm)
 
             s_msg = agg_s[ntype] / norm
-            v_msg = agg_v[ntype] / (norm if isinstance(norm, float) else norm[..., None])
+            if flat:
+                v_msg = agg_v[ntype] / norm
+            else:
+                v_msg = agg_v[ntype] / (norm if isinstance(norm, float) else norm[..., None])
 
             if self.dropout > 0 and not deterministic:
                 key = self.make_rng("dropout")
-                s_msg, v_msg = gvp_dropout(key, s_msg, v_msg, self.dropout, deterministic)
+                s_msg, v_msg = gvp_dropout(key, s_msg, v_msg, self.dropout, deterministic,
+                                           vec_layout=self.vec_layout)
 
             h = h + s_msg
             v = v + v_msg
-            h, v = GVPLayerNorm(name=f"msg_norm_{ntype}")(h, v)
+            h, v = GVPLayerNorm(vec_layout=self.vec_layout, name=f"msg_norm_{ntype}")(h, v)
 
             s_res, v_res = GVPChain(
                 _update_specs(self.scalar_size, self.vector_size, self.n_update_gvps),
                 dtype=self.dtype,
+                vec_layout=self.vec_layout,
                 name=f"update_{ntype}",
             )((h, v))
             s_res = s_res.astype(h.dtype)
             v_res = v_res.astype(v.dtype)
             if self.dropout > 0 and not deterministic:
                 key = self.make_rng("dropout")
-                s_res, v_res = gvp_dropout(key, s_res, v_res, self.dropout, deterministic)
+                s_res, v_res = gvp_dropout(key, s_res, v_res, self.dropout, deterministic,
+                                           vec_layout=self.vec_layout)
             h = h + s_res
             v = v + v_res
-            h, v = GVPLayerNorm(name=f"upd_norm_{ntype}")(h, v)
+            h, v = GVPLayerNorm(vec_layout=self.vec_layout, name=f"upd_norm_{ntype}")(h, v)
 
             m = masks[ntype][..., None].astype(h.dtype)
-            out[ntype] = (h * m, x, v * m[..., None])
+            out[ntype] = (h * m, x, (v * m) if flat else (v * m[..., None]))
         return out
 
 
@@ -153,6 +181,7 @@ class NoisePredictionBlock(nn.Module):
     vector_size: int
     n_gvps: int = 3
     intermediate_scalar_dim: int = 64
+    vec_layout: str = "vc"
 
     @nn.compact
     def __call__(self, scalars, vectors):
@@ -165,11 +194,13 @@ class NoisePredictionBlock(nn.Module):
                 dim_feats_in=self.in_scalar_dim,
                 dim_feats_out=self.intermediate_scalar_dim if last else self.in_scalar_dim,
                 vectors_activation="identity" if last else "sigmoid",
+                vec_layout=self.vec_layout,
                 name=f"gvp{i}",
             )(data)
         s, v = data
         s = TorchLinear(self.out_scalar_dim, name="to_scalar_output")(s)
-        return s, v[..., 0, :]  # squeeze the single vector channel
+        # single vector channel: flat layout is already (..., 3)
+        return s, (v if self.vec_layout == "flat" else v[..., 0, :])
 
 
 class GVPDynamics(nn.Module):
@@ -193,6 +224,10 @@ class GVPDynamics(nn.Module):
     compute_dtype: str = "float32"
     kk_layout: str = "dense"  # 'dense' | 'nbr' | 'block' (all-atom pocket-scale keypoints)
     kk_block_size: int = 64   # tile size for the 'block' layout
+    # internal vector layout: 'flat' stores vectors (..., 3V) v-major so
+    # elementwise/pair work is lane-efficient on TPU (a (..., V, 3) tensor
+    # tiles at ~2% utilization); numerics identical (tests/test_gvp_flat.py)
+    vec_layout: str = "flat"
 
     NO_KP_EDGES = (("lig", "ll", "lig"), ("kp", "kl", "lig"))
     KP_EDGES = NO_KP_EDGES + (("lig", "lk", "kp"), ("kp", "kk", "kp"))
@@ -218,9 +253,15 @@ class GVPDynamics(nn.Module):
         lig_s = lig_s * lig_mask[..., None]
         kp_s = kp_s * kp_mask[..., None]
 
-        lig_v = jnp.zeros((b, nl, self.vector_size, 3), lig_s.dtype)
-        if kp_v is None:
-            kp_v = jnp.zeros((b, k, self.vector_size, 3), kp_s.dtype)
+        flat = self.vec_layout == "flat"
+        if flat:
+            lig_v = jnp.zeros((b, nl, 3 * self.vector_size), lig_s.dtype)
+            kp_v = (jnp.zeros((b, k, 3 * self.vector_size), kp_s.dtype)
+                    if kp_v is None else flatten_vec(kp_v))
+        else:
+            lig_v = jnp.zeros((b, nl, self.vector_size, 3), lig_s.dtype)
+            if kp_v is None:
+                kp_v = jnp.zeros((b, k, self.vector_size, 3), kp_s.dtype)
 
         # ligand edges rebuilt from current positions (dynamics_gvp.py:201-234)
         if self.ll_k > 0:
@@ -228,12 +269,16 @@ class GVPDynamics(nn.Module):
         else:
             ll = dense_radius_adjacency(lig_x, lig_mask, lig_x, lig_mask, self.ll_cutoff, exclude_self=True)
         if self.kl_k > 0:
-            kl = dense_knn_adjacency(kp_x, kp_mask, lig_x, lig_mask, self.kl_k, per="src")
+            # true K*kl_k pair list (each kp's kl_k nearest ligand atoms —
+            # same edge set as the reference's knn, dynamics_gvp.py:201-234)
+            kl_idx, _kl_dist, kl_valid = knn_indices(lig_x, lig_mask, kp_x, kp_mask, self.kl_k)
+            kl_valid = kl_valid & kp_mask[:, :, None]
+            kl = ("pairs", kl_idx, kl_valid)
         else:
             kl = dense_radius_adjacency(kp_x, kp_mask, lig_x, lig_mask, self.kl_cutoff)
         adj = {"ll": ll, "kl": kl}
         if self.update_kp:
-            adj["lk"] = jnp.swapaxes(kl, 1, 2)
+            adj["lk"] = kl if isinstance(kl, tuple) else jnp.swapaxes(kl, 1, 2)
             if kk_edges is None:
                 raise ValueError("kk_edges required when update_kp=True")
             adj["kk"] = kk_edges
@@ -255,6 +300,7 @@ class GVPDynamics(nn.Module):
                 message_norm=self.message_norm,
                 dropout=self.dropout,
                 dtype=self.compute_dtype,
+                vec_layout=self.vec_layout,
                 name=f"conv{i}",
             )(node_data, adj, masks, deterministic=deterministic)
 
@@ -264,6 +310,7 @@ class GVPDynamics(nn.Module):
             out_scalar_dim=self.n_lig_scalars,
             vector_size=self.vector_size,
             n_gvps=self.n_noise_gvps,
+            vec_layout=self.vec_layout,
             name="noise_predictor",
         )(lig_s, lig_v)
 

@@ -17,3 +17,9 @@ import jax  # noqa: E402
 # JAX_PLATFORMS; this config update wins over both.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running tests (full suite >40 min on the CPU "
+        "platform); deselect with -m 'not slow' for a <5 min gate")

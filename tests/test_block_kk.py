@@ -1,5 +1,6 @@
 """Block-dense kk layout: exactness when the window covers everything,
 spatial-sort edge recall on realistic pockets."""
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -32,6 +33,7 @@ def test_block_windows_static_slicing():
     np.testing.assert_array_equal(np.asarray(w[0, 0, 4:12]), np.asarray(arr[0, :8]))
 
 
+@pytest.mark.slow
 def test_block_equals_dense_when_window_covers_all():
     """With <= 2 tiles the 3-tile window spans the whole set, so block-dense
     must reproduce the dense path exactly (same params, same outputs)."""

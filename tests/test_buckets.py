@@ -1,5 +1,6 @@
 """Bucketed ligand padding: every complex lands in the smallest fitting
 bucket; all items served; shapes static per bucket."""
+import pytest
 import numpy as np
 
 from kpdiff_tpu.config import PaddingConfig
@@ -53,6 +54,7 @@ def test_derive_lig_buckets():
     assert derive_lig_buckets(np.array([48] * 10), 48) == [48]
 
 
+@pytest.mark.slow
 def test_cli_bucketed_train_and_sample(tmp_path):
     """lig_buckets: auto flows through the train and sample CLIs."""
     import yaml

@@ -62,6 +62,7 @@ def trained_run(tmp_path_factory):
     return run_dir
 
 
+@pytest.mark.slow
 def test_train_metrics_written(trained_run):
     rows = pickle.load(open(trained_run / "train_metrics.pkl", "rb"))
     assert len(rows) >= 1
@@ -70,6 +71,7 @@ def test_train_metrics_written(trained_run):
     assert any("test_l2" in r for r in test_rows)
 
 
+@pytest.mark.slow
 def test_sample_cli_layout(trained_run, tmp_path):
     from kpdiff_tpu.cli.sample import main as sample_main
 
@@ -143,6 +145,7 @@ def _write_synthetic_complex_pdb_sdf(tmp_path):
     return pdb_path, sdf_path
 
 
+@pytest.mark.slow
 def test_byop_cli(trained_run, tmp_path):
     from kpdiff_tpu.cli.byop import main as byop_main
 

@@ -24,6 +24,7 @@ def test_all_reference_variants_covered():
     assert expected.issubset(set(ALL_CONFIGS)), set(ALL_CONFIGS)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("name", ALL_CONFIGS)
 def test_config_builds_and_runs(name):
     cfg = load_config(CONFIG_DIR / name)

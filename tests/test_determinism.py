@@ -5,6 +5,7 @@ The reference author fought scatter nondeterminism (ligand_diffuser.py:
 has NO scatters in the hot path — aggregations are axis reductions — so
 determinism holds by construction. This test pins it.
 """
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -22,6 +23,7 @@ def mk():
     return KeypointDiffusion(cfg)
 
 
+@pytest.mark.slow
 def test_loss_and_grads_bitwise_deterministic():
     model = mk()
     cpx = synthetic_batch(0, batch=2, n_rec_pad=20, n_lig_pad=8, n_kp=20, kp_feat_dim=10)
@@ -39,6 +41,7 @@ def test_loss_and_grads_bitwise_deterministic():
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
 
+@pytest.mark.slow
 def test_sampling_bitwise_deterministic():
     model = mk()
     cpx = synthetic_batch(1, batch=2, n_rec_pad=20, n_lig_pad=8, n_kp=20, kp_feat_dim=10)

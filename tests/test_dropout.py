@@ -1,5 +1,6 @@
 """GVP dropout is active in the training loss path (GVP configs specify
 dropout 0.1-0.2; the reference never eval-modes its modules)."""
+import pytest
 import numpy as np
 import jax
 
@@ -20,6 +21,7 @@ def mk(dropout):
     ))
 
 
+@pytest.mark.slow
 def test_dropout_active_and_seeded():
     m = mk(0.3)
     cpx = synthetic_batch(0, batch=2, n_rec_pad=16, n_lig_pad=8, n_kp=4, kp_feat_dim=16, kp_vec_dim=4, min_rec=12)
@@ -42,6 +44,7 @@ def test_dropout_active_and_seeded():
     assert np.all(np.isfinite(np.asarray(out["lig_x"])))
 
 
+@pytest.mark.slow
 def test_dropout_grads_finite():
     m = mk(0.2)
     cpx = synthetic_batch(1, batch=2, n_rec_pad=16, n_lig_pad=8, n_kp=4, kp_feat_dim=16, kp_vec_dim=4, min_rec=12)

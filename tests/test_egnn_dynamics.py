@@ -39,6 +39,7 @@ def rotation_matrix(seed=0):
     return jnp.asarray(q.astype(np.float32))
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("update_kp_feat", [False, True])
 def test_dynamics_equivariance(update_kp_feat):
     model = small_model(update_kp_feat=update_kp_feat, message_norm=0)
@@ -118,6 +119,7 @@ def test_loss_runs_and_is_finite():
     assert float(losses["rec_encoder"]) == 0.0  # fixed encoder -> loss 'none'
 
 
+@pytest.mark.slow
 def test_loss_grad_finite():
     model = small_model()
     cpx = synthetic_batch(6, batch=2, n_rec_pad=24, n_lig_pad=10, n_kp=24, kp_feat_dim=10)
@@ -154,6 +156,7 @@ def test_sampler_shapes_and_frame_restoration():
         assert np.linalg.norm(lig.mean(0) - kp_com) < 50.0
 
 
+@pytest.mark.slow
 def test_compact_kk_exact():
     """compact_kk rebuilds the dense kk adjacency as a capped neighbor list
     with cap >= max degree — the EXACT same edge set, so sampling results

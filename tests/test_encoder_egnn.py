@@ -1,5 +1,6 @@
 """Learned EGNN receptor encoder: shapes, equivariance of keypoints,
 OT-loss training integration (egnn_20kp-style config)."""
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -45,6 +46,7 @@ def rotation():
     return jnp.asarray(q.astype(np.float32))
 
 
+@pytest.mark.slow
 def test_encoder_shapes_and_masks():
     model = kp_model()
     cpx = synthetic_batch(0, batch=2, n_rec_pad=48, n_lig_pad=12, n_kp=6, kp_feat_dim=32, min_rec=24)
@@ -63,6 +65,7 @@ def test_encoder_shapes_and_masks():
         assert (kp >= lo).all() and (kp <= hi).all()
 
 
+@pytest.mark.slow
 def test_encoder_equivariance():
     model = kp_model(use_sameres=True)
     cpx = synthetic_batch(1, batch=2, n_rec_pad=40, n_lig_pad=10, n_kp=6, kp_feat_dim=32, min_rec=24)
@@ -83,6 +86,7 @@ def test_encoder_equivariance():
     np.testing.assert_allclose(np.asarray(enc_rot.kp_h), np.asarray(enc.kp_h), rtol=1e-3, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_kp_rad_variant():
     model = kp_model(k_closest=0, kp_rad=6.0, message_norm=2)
     cpx = synthetic_batch(2, batch=2, n_rec_pad=40, n_lig_pad=10, n_kp=6, kp_feat_dim=32, min_rec=24)
@@ -91,6 +95,7 @@ def test_kp_rad_variant():
     assert np.all(np.isfinite(np.asarray(enc.kp_h)))
 
 
+@pytest.mark.slow
 def test_loss_with_ot_and_grads():
     model = kp_model()
     cpx = synthetic_batch(3, batch=2, n_rec_pad=40, n_lig_pad=10, n_kp=6, kp_feat_dim=32, min_rec=24)

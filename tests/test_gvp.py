@@ -69,6 +69,7 @@ def gvp_model(rec_encoder_type="learned", update_kp=True, message_norm="mean"):
     return KeypointDiffusion(cfg)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("enc_type", ["learned", "fixed"])
 def test_gvp_dynamics_equivariance(enc_type):
     model = gvp_model(rec_encoder_type=enc_type)
@@ -115,6 +116,7 @@ def test_gvp_encoder_equivariance():
     np.testing.assert_allclose(np.asarray(enc_rot.kp_v), np.asarray(enc.kp_v @ R.T), rtol=1e-3, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_gvp_loss_grads_and_sample():
     model = gvp_model()
     cpx = synthetic_batch(7, batch=2, n_rec_pad=32, n_lig_pad=10, n_kp=5, kp_feat_dim=24, kp_vec_dim=4, min_rec=20)
@@ -130,6 +132,7 @@ def test_gvp_loss_grads_and_sample():
     assert np.all(np.isfinite(np.asarray(out["lig_x"])))
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("message_norm", [1, 10, 0, "mean"])
 def test_gvp_message_norm_variants(message_norm):
     """All message_norm modes (SURVEY §2.2) must build, run the loss/encode
@@ -147,6 +150,7 @@ def test_gvp_message_norm_variants(message_norm):
     assert all(np.all(np.isfinite(np.asarray(x))) for x in jax.tree_util.tree_leaves(g))
 
 
+@pytest.mark.slow
 def test_gvp_encoder_rr_dropout_active():
     """rr-conv dropout must be live in training mode (VERDICT r1 weak #3:
     the rr conv call previously dropped the `deterministic` argument).

@@ -1,4 +1,5 @@
 """Misc subsystem tests: config overrides, profiling timers, resume."""
+import pytest
 import numpy as np
 
 
@@ -30,6 +31,7 @@ def test_phase_timer():
     assert "a:" in str(t)
 
 
+@pytest.mark.slow
 def test_train_resume_continues_step_count(tmp_path):
     import yaml
 

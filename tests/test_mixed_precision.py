@@ -1,4 +1,5 @@
 """bf16 mixed-precision pair MLPs must track f32 within bf16 tolerance."""
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -16,6 +17,7 @@ def mk(dtype):
     return KeypointDiffusion(cfg)
 
 
+@pytest.mark.slow
 def test_bf16_matches_f32_closely():
     m32 = mk("float32")
     m16 = mk("bfloat16")
@@ -32,6 +34,7 @@ def test_bf16_matches_f32_closely():
     np.testing.assert_allclose(np.asarray(o16[1]), np.asarray(o32[1]), atol=0.05 * float(jnp.abs(o32[1]).max()) + 1e-3)
 
 
+@pytest.mark.slow
 def test_bf16_grads_finite():
     m16 = mk("bfloat16")
     cpx = synthetic_batch(1, batch=2, n_rec_pad=24, n_lig_pad=10, n_kp=24, kp_feat_dim=10, min_rec=16)

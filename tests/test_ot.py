@@ -107,3 +107,22 @@ def test_exact_plan_under_jit():
     v1 = float(f(kp))
     v2 = float(ot_loss(kp, km, pts, pm, method="exact"))
     np.testing.assert_allclose(v1, v2, rtol=1e-6)
+
+
+def test_ot_loss_ignores_empty_padded_rows():
+    """Repeat-padded batch rows (all-zero masks) must not poison the OT
+    mean — regression for the exploding test_rec_encoder seen when the
+    bucketed loader pads a final partial batch."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    kp = jnp.asarray(rng.normal(size=(3, 5, 3)).astype(np.float32) * 5)
+    pts = jnp.asarray(rng.normal(size=(3, 7, 3)).astype(np.float32) * 5)
+    kp_mask = jnp.ones((3, 5), bool)
+    pts_mask = jnp.ones((3, 7), bool).at[2].set(False)  # row 2 = padded/empty
+
+    full = float(ot_loss(kp[:2], kp_mask[:2], pts[:2], pts_mask[:2]))
+    with_pad = float(ot_loss(kp, kp_mask, pts, pts_mask))
+    np.testing.assert_allclose(with_pad, full, rtol=1e-5)
+    assert np.isfinite(with_pad)

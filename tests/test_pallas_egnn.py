@@ -1,5 +1,6 @@
 """Fused Pallas EGNN edge kernel must match the XLA path bit-for-bit-ish
 (same math, interpret mode on CPU)."""
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -32,6 +33,7 @@ def test_pallas_matches_xla_dense_edge():
     np.testing.assert_allclose(np.asarray(out_p[1]), np.asarray(out_x[1]), rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_pallas_dynamics_end_to_end():
     from kpdiff_tpu.models.complex import synthetic_batch
     from kpdiff_tpu.models.diffusion import DiffusionConfig, KeypointDiffusion

@@ -1,10 +1,12 @@
 """Serving API: load a trained run once, sample pockets programmatically."""
+import pytest
 import numpy as np
 import yaml
 
 from tests.test_cli import TINY_CONFIG, _write_synthetic_complex_pdb_sdf
 
 
+@pytest.mark.slow
 def test_keypoint_sampler(tmp_path):
     from kpdiff_tpu.cli.train import main as train_main
     from kpdiff_tpu.serve import KeypointSampler

@@ -29,6 +29,7 @@ def mk(mxu_split_t, kk_layout="dense", kl_k=5, ll_k=0, update_kp_feat=True):
     (0, 4, True, "nbr"),     # dense kl/lk + knn ll + nbr kk
     (5, 0, False, "dense"),  # no kp updates
 ])
+@pytest.mark.slow
 def test_split_t_matches_unsplit(kl_k, ll_k, update_kp_feat, kk_layout):
     m_ref = mk(False, kk_layout, kl_k, ll_k, update_kp_feat)
     m_spl = mk(True, kk_layout, kl_k, ll_k, update_kp_feat)
@@ -48,6 +49,7 @@ def test_split_t_matches_unsplit(kl_k, ll_k, update_kp_feat, kk_layout):
                                rtol=2e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_split_t_grads_match():
     m_ref = mk(False)
     m_spl = mk(True)

@@ -1,6 +1,7 @@
 """GVP receptor encoder parity vs an independent torch reimplementation of
 ReceptorEncoderGVP semantics (receptor_encoder_gvp.py:15-322), through the
 converter."""
+import pytest
 import numpy as np
 import torch
 import torch.nn as tnn
@@ -128,6 +129,7 @@ class TorchRefGVPEncoder(tnn.Module):
         return kp_pos, kp_h, kp_v
 
 
+@pytest.mark.slow
 def test_gvp_encoder_matches_independent_torch_impl():
     torch.manual_seed(5)
     rng = np.random.default_rng(5)

@@ -67,6 +67,7 @@ def test_rec_enc_weight_sigmoid():
 
 # ------------------------------------------------------------- training
 
+@pytest.mark.slow
 def test_smoke_train_loss_decreases():
     model = tiny_model()
     ds = synthetic_dataset(16, seed=0, rec_range=(16, 32), lig_range=(6, 12))
@@ -92,6 +93,7 @@ def test_smoke_train_loss_decreases():
     assert all(np.isfinite(losses))
 
 
+@pytest.mark.slow
 def test_data_parallel_matches_single_device():
     assert jax.device_count() >= 8, "conftest must provide 8 virtual devices"
     model = tiny_model()
