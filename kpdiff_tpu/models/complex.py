@@ -111,14 +111,34 @@ def synthetic_complex_np(
     n_rec_feat: int = 10,
     n_lig_feat: int = 10,
     n_ip_pad: int = 0,
+    min_sep: float = 0.0,
 ):
-    """One synthetic pocket/ligand pair as padded numpy arrays."""
+    """One synthetic pocket/ligand pair as padded numpy arrays.
+
+    min_sep > 0 places pocket atoms on a jittered grid with that minimum
+    spacing (realistic protein packing ~1.8 A exclusion volume, so radius-
+    graph degrees match real pockets); default keeps the legacy Poisson
+    shell (denser local neighborhoods than real proteins)."""
     lig_x = rng.normal(size=(n_lig, 3)) * 2.0
-    # pocket atoms on a shell of radius ~6-10 A around the ligand COM
-    dirs = rng.normal(size=(n_rec, 3))
-    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
-    rad = rng.uniform(5.0, 10.0, size=(n_rec, 1))
-    rec_x = lig_x.mean(0, keepdims=True) + dirs * rad + rng.normal(size=(n_rec, 3)) * 0.5
+    if min_sep > 0:
+        # jittered-grid shell: cells of size min_sep in a radius-5..10 band
+        cell = float(min_sep)
+        lo, hi = -10.0, 10.0
+        axis = np.arange(lo, hi, cell)
+        gx, gy, gz = np.meshgrid(axis, axis, axis, indexing="ij")
+        centers = np.stack([gx, gy, gz], axis=-1).reshape(-1, 3)
+        r = np.linalg.norm(centers, axis=1)
+        centers = centers[(r > 5.0) & (r < 10.0)]
+        take = rng.choice(len(centers), size=min(n_rec, len(centers)), replace=False)
+        rec_x = (lig_x.mean(0, keepdims=True) + centers[take]
+                 + rng.uniform(-0.3, 0.3, size=(len(take), 3)) * cell)
+        n_rec = len(take)
+    else:
+        # pocket atoms on a shell of radius ~6-10 A around the ligand COM
+        dirs = rng.normal(size=(n_rec, 3))
+        dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+        rad = rng.uniform(5.0, 10.0, size=(n_rec, 1))
+        rec_x = lig_x.mean(0, keepdims=True) + dirs * rad + rng.normal(size=(n_rec, 3)) * 0.5
 
     def onehot(n, f):
         idx = rng.integers(0, f, size=n)
@@ -173,6 +193,7 @@ def synthetic_batch(
     n_ip_pad: int = 16,
     min_rec: int = 24,
     min_lig: int = 8,
+    min_sep: float = 0.0,
 ) -> PaddedComplex:
     rng = np.random.default_rng(seed)
     min_rec = min(min_rec, n_rec_pad)
@@ -182,7 +203,8 @@ def synthetic_batch(
         n_rec = int(rng.integers(min_rec, n_rec_pad + 1))
         n_lig = int(rng.integers(min_lig, n_lig_pad + 1))
         items.append(
-            synthetic_complex_np(rng, n_rec, n_lig, n_rec_pad, n_lig_pad, n_rec_feat, n_lig_feat, n_ip_pad)
+            synthetic_complex_np(rng, n_rec, n_lig, n_rec_pad, n_lig_pad, n_rec_feat, n_lig_feat, n_ip_pad,
+                                 min_sep=min_sep)
         )
     stacked = {k: np.stack([it[k] for it in items]) for k in items[0]}
     return make_complex(

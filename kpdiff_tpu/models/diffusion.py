@@ -194,7 +194,7 @@ class KeypointDiffusion:
             # exclude self: dst j sits at window row tile + j
             eye = jnp.zeros((w, tile), bool).at[jnp.arange(tile) + tile, jnp.arange(tile)].set(True)
             adj = (d2 < float(r) ** 2) & valid & ~eye[None, None]
-            return ("block", adj)
+            return {"block": adj}
         if self.cfg.rec_encoder_type == "fixed":
             return fixed_kk_edges(cpx, self.cfg.graph_cutoffs["rr"], layout=layout)
         from kpdiff_tpu.ops.neighbors import dense_radius_adjacency, radius_neighbor_list
@@ -221,20 +221,31 @@ class KeypointDiffusion:
         """
         import jax as _jax
 
-        if not isinstance(kk, jnp.ndarray) or kk.ndim != 3:
-            return kk
-        K = kk.shape[-1]
-        deg = int(_jax.device_get(jnp.max(jnp.sum(kk, axis=-1))))
-        cap = min(K, max(((deg + align - 1) // align) * align, align))
-        if cap >= K:
-            return kk
-        from kpdiff_tpu.ops.neighbors import radius_neighbor_list
+        from kpdiff_tpu.ops.neighbors import dense_radius_adjacency, radius_neighbor_list
 
+        is_dense = isinstance(kk, jnp.ndarray) and kk.ndim == 3
+        is_block = isinstance(kk, dict) and "block" in kk
+        if not (is_dense or is_block):
+            return kk  # already a neighbor list
+
+        r = (self.cfg.graph_cutoffs["kk"] if self.cfg.rec_encoder_type != "fixed"
+             else self.cfg.graph_cutoffs["rr"])
+        if is_dense:
+            adj = kk
+        else:
+            # block layout is a banded bounded-recall approximation
+            # (PARITY.md deviation 3); the rebuild below is the EXACT radius
+            # graph, so sampling through compact_kk is also the
+            # checkpoint-parity-safe layout
+            adj = dense_radius_adjacency(cpx.kp_x, cpx.kp_mask, cpx.kp_x, cpx.kp_mask,
+                                         r, exclude_self=True)
+        K = adj.shape[-1]
+        deg = int(_jax.device_get(jnp.max(jnp.sum(adj, axis=-1))))
+        cap = min(K, max(((deg + align - 1) // align) * align, align))
+        if cap >= K and is_dense:
+            return kk
         return radius_neighbor_list(
-            cpx.kp_x, cpx.kp_mask, cpx.kp_x, cpx.kp_mask,
-            self.cfg.graph_cutoffs["kk"] if self.cfg.rec_encoder_type != "fixed"
-            else self.cfg.graph_cutoffs["rr"],
-            cap, exclude_self=True,
+            cpx.kp_x, cpx.kp_mask, cpx.kp_x, cpx.kp_mask, r, cap, exclude_self=True,
         )
 
     def _apply_dynamics(self, params, lig_x, lig_h, lig_mask, kp_x, kp_h, kp_mask, t, kk, kp_v=None,

@@ -92,16 +92,16 @@ class EGNNConvLayer(nn.Module):
             else:
                 dense("lk", "lig", "kp", edges["lk"])
             # kk edge structure is data-driven (static pytree structure at
-            # trace time): ("block", adj) | (idx, valid) nbr list | dense
+            # trace time): {"block": adj} | (idx, valid) nbr list | dense
             # (B,K,K) adjacency. Parameters are identical across layouts, so
             # the sampler may pick a different layout than training did
             # (e.g. compact_kk's exact capped nbr list).
             kk_struct = edges["kk"]
-            if isinstance(kk_struct, tuple) and isinstance(kk_struct[0], str):
+            if isinstance(kk_struct, dict):
                 # banded block-dense kk: static windows, dense tile pairs
                 from kpdiff_tpu.ops.spatial import block_windows
 
-                _, adj = kk_struct
+                adj = kk_struct["block"]
                 b, nt, w, tile = adj.shape
                 K = nt * tile
                 F = h["kp"].shape[-1]
@@ -233,10 +233,10 @@ class EGNNDynamics(nn.Module):
             if self.update_kp_feat:
                 n_kp = jnp.maximum(jnp.sum(kp_mask, axis=1), 1)
                 kk_struct = edges["kk"]
-                if not isinstance(kk_struct, tuple):
+                if isinstance(kk_struct, dict):
+                    e_kk = jnp.sum(kk_struct["block"], axis=(1, 2, 3))
+                elif not isinstance(kk_struct, tuple):
                     e_kk = jnp.sum(kk_struct, axis=(1, 2))
-                elif isinstance(kk_struct[0], str):
-                    e_kk = jnp.sum(kk_struct[1], axis=(1, 2, 3))
                 else:
                     e_kk = jnp.sum(kk_struct[1], axis=(1, 2))
                 e_kp = e_kl + e_kk  # lk edge count == kl edge count

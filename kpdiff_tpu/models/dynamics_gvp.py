@@ -83,11 +83,11 @@ class GVPMultiEdgeConvDense(nn.Module):
                 ds, dv = GVPEdgeMessagesKNNPairs(
                     anchor_is_src=(src == "kp"), **common,
                 )(h_a, v_a, x_a, h_o, v_o, x_o, idx, valid)
-            elif isinstance(adj[ename], tuple) and adj[ename][0] == "block":
+            elif isinstance(adj[ename], dict):
                 # banded block-dense windows over spatially sorted keypoints
                 from kpdiff_tpu.ops.spatial import block_windows
 
-                blk = adj[ename][1]
+                blk = adj[ename]["block"]
                 b, nt, w, tile = blk.shape
                 K = nt * tile
                 S_ = h_s.shape[-1]
@@ -126,8 +126,8 @@ class GVPMultiEdgeConvDense(nn.Module):
                 for etype in self.etypes:
                     if etype[2] == ntype:
                         a = adj[etype[1]]
-                        if isinstance(a, tuple) and a[0] == "block":
-                            n_edges = n_edges + jnp.sum(a[1], axis=(1, 2, 3)).astype(jnp.float32)
+                        if isinstance(a, dict):
+                            n_edges = n_edges + jnp.sum(a["block"], axis=(1, 2, 3)).astype(jnp.float32)
                         elif isinstance(a, tuple) and a[0] == "pairs":
                             n_edges = n_edges + jnp.sum(a[2], axis=(1, 2)).astype(jnp.float32)
                         else:
