@@ -118,8 +118,17 @@ class EGNNReceptorEncoder(nn.Module):
     n_kk_convs: int = 0  # reference KeyKeyConv raises NotImplementedError (receptor_encoder.py:337)
     n_kk_heads: int = 4
     graph_cutoffs: Dict[str, float] = None
-    rr_max_neighbors: int = 100  # data-prep cap (pdbbind_processing.py:246)
-    rr_layout: str = "block"  # 'block' (spatial-sort banded dense; fast) | 'nbr' (reference-cap semantics)
+    # reference data-prep caps rr at 100 (pdbbind_processing.py:246) which
+    # is effectively uncapped; 32 >= the max protein-density degree at the
+    # 3.5 A cutoff (~22), so the nearest-32 list is the same exact edge set
+    # at 3x less gather volume (BASELINE.md round-2 sweep)
+    rr_max_neighbors: int = 32
+    # 'nbr' = capped nearest-neighbor list: EXACT radius graph whenever the
+    # cap >= max degree (protein-density pockets max ~22 at 3.5 A), and
+    # measured FASTER than the banded block layout at cap 32 (BASELINE.md
+    # round-2). 'block' (banded, ~90% recall on protein density) kept as an
+    # option for very large sets.
+    rr_layout: str = "nbr"
     rr_block_size: int = 64
     compute_dtype: str = "float32"  # 'bfloat16' for mixed-precision edge MLPs
 

@@ -145,8 +145,8 @@ class GVPReceptorEncoder(nn.Module):
     k_closest: int = 0
     dropout: float = 0.0
     graph_cutoffs: Dict[str, float] = None
-    rr_max_neighbors: int = 100
-    rr_layout: str = "block"  # 'block' (spatial-sort banded dense) | 'nbr'
+    rr_max_neighbors: int = 32  # see encoder_egnn.py note
+    rr_layout: str = "nbr"  # exact capped nbr list (see encoder_egnn.py note) | 'block'
     rr_block_size: int = 64
     compute_dtype: str = "float32"
 
