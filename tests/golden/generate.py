@@ -1,0 +1,209 @@
+"""Regenerate the golden parity fixtures (tests/golden/*.npz).
+
+Runs the independent TORCH reimplementations of the reference modules on
+fixed inputs, converts their weights with utils/torch_import.py, and
+freezes (inputs, converted params, expected outputs) so the parity tests
+can run torch-free (tests/test_golden_parity.py).
+
+If a dgl-capable environment ever becomes available, adapt this script to
+drive the ACTUAL reference modules (models/dynamics.py etc.) instead —
+the fixture format is identical.
+
+    python -m tests.golden.generate
+"""
+from __future__ import annotations
+
+import pathlib
+
+import numpy as np
+import torch
+import jax
+
+from tests.parity_jax import flatten_case
+
+OUT = pathlib.Path(__file__).parent
+
+
+def egnn_dynamics_case(message_norm):
+    import tests.test_torch_parity as m
+
+    torch.manual_seed(0)
+    rng = np.random.default_rng(0)
+    NL, NK = 7, 5
+    lig_x = torch.tensor(rng.normal(size=(NL, 3)) * 2, dtype=torch.float32)
+    lig_h = torch.tensor(rng.normal(size=(NL, m.ATOM_NF)), dtype=torch.float32)
+    kp_x = torch.tensor(rng.normal(size=(NK, 3)) * 3, dtype=torch.float32)
+    kp_h = torch.tensor(rng.normal(size=(NK, m.REC_NF)), dtype=torch.float32)
+    t_val = 0.35
+
+    ref = m.TorchRefDynamics(message_norm=message_norm)
+    edges = m.build_edges(lig_x, kp_x)
+    with torch.no_grad():
+        eps_h_t, eps_x_t = ref(lig_x, lig_h, kp_x, kp_h, t_val, edges)
+
+    from kpdiff_tpu.utils.torch_import import convert_egnn_dynamics_state_dict
+
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params = convert_egnn_dynamics_state_dict(
+        sd, n_layers=m.N_LAYERS, update_kp_feat=True, rec_nf=m.REC_NF, hidden_nf=m.HID)
+
+    meta = {
+        "t_val": t_val, "kk_cut": m.KK_CUT, "rtol": 2e-4, "atol": 2e-5,
+        "config": dict(
+            atom_nf=m.ATOM_NF, rec_nf=m.REC_NF, n_timesteps=10, rec_encoder_type="fixed",
+            graph_cutoffs={"rr": m.KK_CUT, "kk": m.KK_CUT, "kl": 8, "ll": m.LL_CUT, "rk": 100},
+            dynamics=dict(n_layers=m.N_LAYERS, hidden_nf=m.HID, use_tanh=True,
+                          message_norm=message_norm, update_kp_feat=True, norm=True,
+                          ll_k=0, kl_k=m.KL_K),
+        ),
+    }
+    return flatten_case(
+        "egnn_dynamics", meta, params,
+        {"lig_x": lig_x.numpy(), "lig_h": lig_h.numpy(), "kp_x": kp_x.numpy(), "kp_h": kp_h.numpy()},
+        {"eps_h": eps_h_t.numpy(), "eps_x": eps_x_t.numpy()},
+    )
+
+
+def egnn_encoder_case():
+    import tests.test_torch_parity_encoder as m
+
+    torch.manual_seed(1)
+    rng = np.random.default_rng(1)
+    N = 14
+    x0 = torch.tensor(rng.normal(size=(N, 3)) * 2.5, dtype=torch.float32)
+    h0 = torch.tensor(rng.normal(size=(N, m.IN_F)), dtype=torch.float32)
+    res_idx = torch.tensor(rng.integers(0, 4, size=N))
+
+    ref = m.TorchRefEncoder()
+    with torch.no_grad():
+        kp_pos_t, kp_feat_t = ref(x0, h0, res_idx)
+
+    from kpdiff_tpu.utils.torch_import import convert_egnn_encoder_state_dict
+
+    sd = {k: v.numpy() for k, v in ref.state_dict().items()}
+    params = convert_egnn_encoder_state_dict(
+        sd, n_convs=m.N_CONVS, hidden=m.HID, out_feat=m.HID, in_feat=m.IN_F,
+        use_sameres_feat=True, fix_pos=False, norm=True)
+
+    meta = {
+        "n_kp": m.N_KP, "kp_feat_dim": m.HID, "rtol": 5e-4, "atol": 5e-5,
+        "config": dict(
+            atom_nf=5, rec_nf=m.HID, n_timesteps=10, rec_encoder_type="learned",
+            graph_cutoffs={"rr": m.RR_CUT, "rk": 100, "kk": 8, "kl": 8, "ll": 5},
+            dynamics=dict(n_layers=1, hidden_nf=8, kl_k=2),
+            rec_encoder=dict(
+                n_keypoints=m.N_KP, in_n_node_feat=m.IN_F, hidden_n_node_feat=m.HID,
+                out_n_node_feat=m.HID, n_convs=m.N_CONVS, use_tanh=True, message_norm=0,
+                k_closest=m.K_CLOSEST, kp_rad=0.0, norm=True, fix_pos=False,
+                use_sameres_feat=True),
+        ),
+    }
+    return flatten_case(
+        "egnn_encoder", meta, params,
+        {"rec_x": x0.numpy(), "rec_h": h0.numpy(), "rec_res_idx": res_idx.numpy()},
+        {"kp_x": kp_pos_t.numpy(), "kp_h": kp_feat_t.numpy()},
+    )
+
+
+def gvp_dynamics_case(message_norm):
+    import tests.test_torch_parity_gvp as m
+
+    torch.manual_seed(3)
+    rng = np.random.default_rng(3)
+    NL, NK = 7, 5
+    lig_x = torch.tensor(rng.normal(size=(NL, 3)) * 2, dtype=torch.float32)
+    lig_h = torch.tensor(rng.normal(size=(NL, m.ATOM_NF)), dtype=torch.float32)
+    kp_x = torch.tensor(rng.normal(size=(NK, 3)) * 3, dtype=torch.float32)
+    kp_h = torch.tensor(rng.normal(size=(NK, m.KP_NF)), dtype=torch.float32)
+    kp_v = torch.tensor(rng.normal(size=(NK, m.V, 3)), dtype=torch.float32)
+    t_val = 0.6
+
+    ref = m.TorchRefGVPDynamics(message_norm=message_norm)
+    edges = m.build_edges(lig_x, kp_x)
+    with torch.no_grad():
+        eps_h_t, eps_x_t = ref(lig_x, lig_h, kp_x, kp_h, kp_v, t_val, edges)
+
+    from kpdiff_tpu.utils.torch_import import convert_gvp_dynamics_state_dict
+
+    sd = {k: v.numpy() for k, v in ref.state_dict().items()}
+    params = convert_gvp_dynamics_state_dict(
+        sd, n_convs=m.N_CONVS, update_kp=True, n_message_gvps=m.N_MSG,
+        n_update_gvps=m.N_UPD, n_noise_gvps=m.N_NOISE)
+
+    meta = {
+        "t_val": t_val, "kk_cut": m.KK_CUT, "rtol": 5e-4, "atol": 5e-5,
+        "config": dict(
+            atom_nf=m.ATOM_NF, rec_nf=m.KP_NF, n_timesteps=10, architecture="gvp",
+            rec_encoder_type="fixed",
+            graph_cutoffs={"rr": m.KK_CUT, "kk": m.KK_CUT, "kl": 8, "ll": m.LL_CUT, "rk": 100},
+            rec_encoder=dict(vector_size=m.V),
+            dynamics=dict(vector_size=m.V, n_convs=m.N_CONVS, n_hidden_scalars=m.S,
+                          update_kp=True, message_norm=message_norm, ll_k=0, kl_k=m.KL_K,
+                          n_message_gvps=m.N_MSG, n_update_gvps=m.N_UPD, n_noise_gvps=m.N_NOISE),
+        ),
+    }
+    return flatten_case(
+        "gvp_dynamics", meta, params,
+        {"lig_x": lig_x.numpy(), "lig_h": lig_h.numpy(), "kp_x": kp_x.numpy(),
+         "kp_h": kp_h.numpy(), "kp_v": kp_v.numpy()},
+        {"eps_h": eps_h_t.numpy(), "eps_x": eps_x_t.numpy()},
+    )
+
+
+def gvp_encoder_case():
+    import tests.test_torch_parity_gvp_encoder as m
+
+    torch.manual_seed(5)
+    rng = np.random.default_rng(5)
+    N = 12
+    x0 = torch.tensor(rng.normal(size=(N, 3)) * 2.5, dtype=torch.float32)
+    h0 = torch.tensor(rng.normal(size=(N, m.IN_F)), dtype=torch.float32)
+
+    ref = m.TorchRefGVPEncoder()
+    with torch.no_grad():
+        kp_pos_t, kp_h_t, kp_v_t = ref(x0, h0)
+
+    from kpdiff_tpu.utils.torch_import import convert_gvp_encoder_state_dict
+
+    sd = {k: v.numpy() for k, v in ref.state_dict().items()}
+    params = convert_gvp_encoder_state_dict(sd, m.N_RR, m.N_RK, m.N_MSG, m.N_UPD)
+
+    meta = {
+        "n_kp": m.N_KP, "kp_feat_dim": m.S, "kp_vec_dim": m.V, "rtol": 5e-4, "atol": 1e-4,
+        "config": dict(
+            atom_nf=5, rec_nf=m.S, n_timesteps=10, architecture="gvp",
+            rec_encoder_type="learned",
+            graph_cutoffs={"rr": m.RR_CUT, "rk": m.RK_RBF_DMAX, "kk": 8, "kl": 8, "ll": 5},
+            dynamics=dict(vector_size=m.V, n_convs=1, n_hidden_scalars=8, kl_k=2,
+                          n_message_gvps=1, n_update_gvps=1, n_noise_gvps=2),
+            rec_encoder=dict(
+                in_scalar_size=m.IN_F, n_keypoints=m.N_KP, out_scalar_size=m.S,
+                vector_size=m.V, n_rr_convs=m.N_RR, n_rk_convs=m.N_RK, message_norm=10.0,
+                k_closest=m.K_CLOSEST, kp_rad=0, n_message_gvps=m.N_MSG,
+                n_update_gvps=m.N_UPD, dropout=0.0),
+        ),
+    }
+    return flatten_case(
+        "gvp_encoder", meta, params,
+        {"rec_x": x0.numpy(), "rec_h": h0.numpy()},
+        {"kp_x": kp_pos_t.numpy(), "kp_h": kp_h_t.numpy(), "kp_v": kp_v_t.numpy()},
+    )
+
+
+def main():
+    cases = {
+        "egnn_dynamics_mn1": egnn_dynamics_case(1.0),
+        "egnn_dynamics_mn0": egnn_dynamics_case(0),
+        "egnn_encoder": egnn_encoder_case(),
+        "gvp_dynamics_mean": gvp_dynamics_case("mean"),
+        "gvp_dynamics_mn10": gvp_dynamics_case(10.0),
+        "gvp_encoder": gvp_encoder_case(),
+    }
+    for name, case in cases.items():
+        path = OUT / f"{name}.npz"
+        np.savez_compressed(path, **case)
+        print(f"wrote {path} ({len(case)} arrays)")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,24 @@
+"""Golden-fixture parity: kpdiff_tpu outputs vs frozen outputs of the
+independent torch reimplementations of the reference modules — runs
+WITHOUT torch (VERDICT r1 item 6). Regenerate fixtures with
+`python -m tests.golden.generate` (requires torch; adapt it to drive the
+actual dgl reference if such an environment is ever available)."""
+import pathlib
+
+import numpy as np
+import pytest
+
+from tests.parity_jax import assert_case
+
+GOLDEN = sorted(pathlib.Path(__file__).parent.glob("golden/*.npz"))
+
+
+def test_fixture_set_complete():
+    names = {p.stem for p in GOLDEN}
+    assert {"egnn_dynamics_mn1", "egnn_dynamics_mn0", "egnn_encoder",
+            "gvp_dynamics_mean", "gvp_dynamics_mn10", "gvp_encoder"} <= names
+
+
+@pytest.mark.parametrize("path", GOLDEN, ids=[p.stem for p in GOLDEN])
+def test_golden_case(path):
+    assert_case(np.load(path, allow_pickle=False))
