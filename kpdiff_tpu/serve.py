@@ -57,10 +57,17 @@ class KeypointSampler:
 
         model = self.model
 
-        @jax.jit
+        # encode once per batch, compact the static kk edges to the exact
+        # capped neighbor list (kk pair work dominates flagship step time),
+        # then run the jitted reverse-diffusion scan
+        encode_fn = jax.jit(model.encode)
+        sample_fn = jax.jit(lambda params, rng, enc, kk, init_com:
+                            model.sample(params, rng, enc, kk, init_com=init_com))
+
         def _run(params, rng, cpx, init_com):
-            enc, kk = model.encode(params, cpx)
-            return model.sample(params, rng, enc, kk, init_com=init_com)
+            enc, kk = encode_fn(params, cpx)
+            kk = model.compact_kk(enc, kk)
+            return sample_fn(params, rng, enc, kk, init_com)
 
         self._run = _run
         self._rng = jax.random.key(seed)
