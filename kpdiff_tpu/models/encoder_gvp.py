@@ -39,6 +39,7 @@ from kpdiff_tpu.models.gvp import (
     GVPLayerNorm,
     _update_specs,
     gvp_dropout,
+    unflatten_vec,
 )
 from kpdiff_tpu.models.nn import MLP, TorchLinear
 from kpdiff_tpu.ops.geometry import masked_mean
@@ -63,11 +64,13 @@ class GVPEdgeConvNbr(nn.Module):
     dropout: float = 0.0
     dtype: str = "float32"
     layout: str = "nbr"  # 'nbr' (idx, valid) | 'block' (banded adj,) — same params
+    vec_layout: str = "vc"  # 'flat': vectors are (..., 3V) v-major
 
     @nn.compact
     def __call__(self, src_feats, dst_feats, edges, z, mask_dst, edge_feat=None, deterministic=True):
         h_s, x_s, v_s = src_feats
         h_d, x_d, v_d = dst_feats
+        flat = self.vec_layout == "flat"
         agg = "mean" if self.message_norm == "mean" else "sum"
         common = dict(
             scalar_size=self.scalar_size,
@@ -79,6 +82,7 @@ class GVPEdgeConvNbr(nn.Module):
             edge_feat_size=self.edge_feat_size,
             agg=agg,
             dtype=self.dtype,
+            vec_layout=self.vec_layout,
             name="edge",
         )
         if self.layout == "block":
@@ -86,18 +90,25 @@ class GVPEdgeConvNbr(nn.Module):
 
             (adj,) = edges  # (B, nt, 3T, T); src set == dst set (rr)
             b, nt, w, tile = adj.shape
-            N, S_, V_ = h_s.shape[1], h_s.shape[-1], v_s.shape[-2]
+            N, S_ = h_s.shape[1], h_s.shape[-1]
             hw = block_windows(h_s, tile).reshape(b * nt, w, S_)
             xw = block_windows(x_s, tile).reshape(b * nt, w, 3)
-            vw = block_windows(v_s, tile).reshape(b * nt, w, V_, 3)
             ef = None if edge_feat is None else edge_feat.reshape(b * nt, w, tile, -1)
+            if flat:
+                V3 = v_s.shape[-1]
+                vw = block_windows(v_s, tile).reshape(b * nt, w, V3)
+                vt = v_d.reshape(b * nt, tile, V3)
+            else:
+                V_ = v_s.shape[-2]
+                vw = block_windows(v_s, tile).reshape(b * nt, w, V_, 3)
+                vt = v_d.reshape(b * nt, tile, V_, 3)
             s_msg, v_msg = GVPEdgeMessagesDense(**common)(
                 hw, vw, xw,
-                h_d.reshape(b * nt, tile, S_), v_d.reshape(b * nt, tile, V_, 3), x_d.reshape(b * nt, tile, 3),
+                h_d.reshape(b * nt, tile, S_), vt, x_d.reshape(b * nt, tile, 3),
                 adj.reshape(b * nt, w, tile), ef,
             )
             s_msg = s_msg.reshape(b, N, S_)
-            v_msg = v_msg.reshape(b, N, V_, 3)
+            v_msg = v_msg.reshape(b, N, V3) if flat else v_msg.reshape(b, N, V_, 3)
         else:
             nbr_idx, nbr_valid = edges
             s_msg, v_msg = GVPEdgeMessagesNbr(**common)(
@@ -105,27 +116,32 @@ class GVPEdgeConvNbr(nn.Module):
             )
 
         s_msg = s_msg / z
-        v_msg = v_msg / (z if isinstance(z, float) else z[..., None])
+        if flat:
+            v_msg = v_msg / z
+        else:
+            v_msg = v_msg / (z if isinstance(z, float) else z[..., None])
 
         if self.dropout > 0 and not deterministic:
-            s_msg, v_msg = gvp_dropout(self.make_rng("dropout"), s_msg, v_msg, self.dropout, deterministic)
+            s_msg, v_msg = gvp_dropout(self.make_rng("dropout"), s_msg, v_msg, self.dropout,
+                                       deterministic, vec_layout=self.vec_layout)
 
         h = h_d + s_msg
         v = v_d + v_msg
-        h, v = GVPLayerNorm(name="message_norm")(h, v)
+        h, v = GVPLayerNorm(vec_layout=self.vec_layout, name="message_norm")(h, v)
 
         s_res, v_res = GVPChain(_update_specs(self.scalar_size, self.vector_size, self.n_update_gvps),
-                                dtype=self.dtype, name="update")((h, v))
+                                dtype=self.dtype, vec_layout=self.vec_layout, name="update")((h, v))
         s_res = s_res.astype(h.dtype)
         v_res = v_res.astype(v.dtype)
         if self.dropout > 0 and not deterministic:
-            s_res, v_res = gvp_dropout(self.make_rng("dropout"), s_res, v_res, self.dropout, deterministic)
+            s_res, v_res = gvp_dropout(self.make_rng("dropout"), s_res, v_res, self.dropout,
+                                       deterministic, vec_layout=self.vec_layout)
         h = h + s_res
         v = v + v_res
-        h, v = GVPLayerNorm(name="update_norm")(h, v)
+        h, v = GVPLayerNorm(vec_layout=self.vec_layout, name="update_norm")(h, v)
 
         m = mask_dst[..., None].astype(h.dtype)
-        return h * m, v * m[..., None]
+        return h * m, (v * m) if flat else (v * m[..., None])
 
 
 class GVPReceptorEncoder(nn.Module):
@@ -149,6 +165,9 @@ class GVPReceptorEncoder(nn.Module):
     rr_layout: str = "nbr"  # exact capped nbr list (see encoder_egnn.py note) | 'block'
     rr_block_size: int = 64
     compute_dtype: str = "float32"
+    # internal vector layout (models/gvp.py flat docs); kp_v is unflattened
+    # back to (B, K, V, 3) at the encoder boundary
+    vec_layout: str = "flat"
 
     @nn.compact
     def __call__(self, cpx: PaddedComplex, deterministic: bool = True) -> PaddedComplex:
@@ -180,7 +199,9 @@ class GVPReceptorEncoder(nn.Module):
         h = MLP([F, F], ["silu", "silu"], name="scalar_embed")(rec_h_in)
         h = nn.LayerNorm(epsilon=1e-5, name="scalar_norm")(h)
         h = h * mask[..., None]
-        v = jnp.zeros((b, nr, self.vector_size, 3), h.dtype)
+        flat = self.vec_layout == "flat"
+        v = (jnp.zeros((b, nr, 3 * self.vector_size), h.dtype) if flat
+             else jnp.zeros((b, nr, self.vector_size, 3), h.dtype))
 
         edge_feat = None
         if self.rr_layout == "block":
@@ -234,6 +255,7 @@ class GVPReceptorEncoder(nn.Module):
                 dropout=self.dropout,
                 dtype=self.compute_dtype,
                 layout=self.rr_layout,
+                vec_layout=self.vec_layout,
                 name=f"rr_conv{i}",
             )((h, x0, v), (h, x0, v), rr_edges, jnp.asarray(z, jnp.float32), mask, edge_feat,
               deterministic)
@@ -252,7 +274,8 @@ class GVPReceptorEncoder(nn.Module):
         kp_pos = jnp.einsum("bkr,brc->bkc", attn, x0)
 
         kp_h = jnp.zeros((b, K, F), h.dtype)
-        kp_v = jnp.zeros((b, K, self.vector_size, 3), h.dtype)
+        kp_v = (jnp.zeros((b, K, 3 * self.vector_size), h.dtype) if flat
+                else jnp.zeros((b, K, self.vector_size, 3), h.dtype))
         kp_mask = jnp.ones((b, K), bool)
 
         # ---- rk edges (receptor_encoder_gvp.py:297-322)
@@ -280,7 +303,10 @@ class GVPReceptorEncoder(nn.Module):
                 rbf_dmax=self.graph_cutoffs["rk"],
                 message_norm=self.message_norm,
                 dropout=self.dropout,
+                vec_layout=self.vec_layout,
                 name=f"rk_conv{i}",
             )((h, x0, v), (kp_h, kp_pos, kp_v), (rk_idx, rk_valid), z_rk, kp_mask, None, deterministic)
 
+        if flat:
+            kp_v = unflatten_vec(kp_v)
         return cpx.replace(kp_x=kp_pos, kp_h=kp_h, kp_mask=kp_mask, kp_v=kp_v)
