@@ -38,6 +38,10 @@ def parse_args(argv=None):
     p.add_argument("--synthetic", type=int, default=0)
     p.add_argument("--samples_per_pocket", type=int, default=100)
     p.add_argument("--max_batch_size", type=int, default=128)
+    p.add_argument("--n_devices", type=int, default=1,
+                   help="shard each pocket's replicate batch over a data mesh "
+                        "of this many devices (the TPU-native replacement for "
+                        "the reference's SLURM array scale-out)")
     p.add_argument("--max_tries", type=int, default=3)
     p.add_argument("--avg_validity", type=float, default=0.85)
     p.add_argument("--use_ref_lig_com", action="store_true")
@@ -92,6 +96,14 @@ def main(argv=None):
     out_root.mkdir(parents=True, exist_ok=True)
 
     batch = args.max_batch_size
+    mesh = None
+    if args.n_devices > 1:
+        from kpdiff_tpu.parallel.mesh import make_mesh, replicated
+
+        mesh = make_mesh(args.n_devices)
+        if batch % args.n_devices:
+            batch = (batch // args.n_devices + 1) * args.n_devices
+        params = jax.device_put(params, replicated(mesh))
 
     encode_fn = jax.jit(model.encode)
 
@@ -166,6 +178,10 @@ def main(argv=None):
         else:
             init_com = None
 
+        if mesh is not None:
+            from kpdiff_tpu.parallel.mesh import shard_batch_pytree
+
+            cpx = shard_batch_pytree(cpx, mesh)
         # encode ONCE per pocket (reference test.py:164), then compact the
         # static kk edge set to an exact capped neighbor list
         # (model.compact_kk) before the 1000-step scan — the dense kk pair

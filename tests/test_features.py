@@ -1,5 +1,6 @@
 """Latent reference capabilities: fake atoms, receptor-ligand hinge loss,
 sharded (data-parallel) sampling for eval fan-out."""
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -79,3 +80,27 @@ def test_sharded_sampling_matches_single_device():
 
     np.testing.assert_allclose(np.asarray(x2), np.asarray(x1), rtol=2e-3, atol=2e-3)
     np.testing.assert_allclose(np.asarray(h2), np.asarray(h1), rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.slow
+def test_sample_cli_multi_device(tmp_path):
+    """--n_devices shards each pocket's replicate batch over the data mesh
+    end-to-end through the CLI."""
+    import yaml
+    from tests.test_cli import TINY_CONFIG
+    from kpdiff_tpu.cli.train import main as train_main
+    from kpdiff_tpu.cli.sample import main as sample_main
+
+    cfg = dict(TINY_CONFIG)
+    cfg["experiment"] = {"name": "mdv", "results_dir": str(tmp_path)}
+    cfg_path = tmp_path / "mdv.yml"
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    run_dir, _ = train_main(["--config", str(cfg_path), "--synthetic", "8", "--n_devices", "1"])
+
+    out = tmp_path / "sampled"
+    sample_main([
+        "--model_dir", str(run_dir), "--synthetic", "1", "--samples_per_pocket", "4",
+        "--max_batch_size", "4", "--max_tries", "1", "--out", str(out), "--n_devices", "4",
+    ])
+    assert (out / "pocket_0" / "raw_ligands.sdf").exists()
