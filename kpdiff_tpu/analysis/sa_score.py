@@ -5,8 +5,10 @@ The reference vendors RDKit-contrib's sascorer + its fpscores fragment
 table (analysis/SA_Score/sascorer.py + fpscores.pkl.gz). Here the full
 published algorithm — fragment score from the fpscores table + complexity
 penalties + the fingerprint-density correction — is implemented first-
-party; the fragment table is located from several candidate paths (it is
-public RDKit-contrib DATA, like the contrib scorer the reference copies).
+party; the fragment table (public RDKit-contrib data — every rdkit
+install ships it under RDContribDir/SA_Score) is located from the rdkit
+contrib dir or the candidate paths below; drop a copy into
+analysis/data/ to pin a specific table.
 
 RDKit is still required for the fragment term: the fpscores table is keyed
 by RDKit's Morgan-fingerprint bit hashes, which are internal to RDKit's
