@@ -1,4 +1,5 @@
 """ModelAnalyzer + pocket-file writer tests."""
+import pytest
 import numpy as np
 import jax
 
@@ -6,6 +7,7 @@ from kpdiff_tpu.analysis.analyzer import ModelAnalyzer
 from kpdiff_tpu.config import PaddingConfig
 from kpdiff_tpu.data.dataset import synthetic_dataset
 from kpdiff_tpu.models.diffusion import DiffusionConfig, KeypointDiffusion
+@pytest.mark.slow
 
 
 def test_model_analyzer_runs():

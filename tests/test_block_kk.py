@@ -80,6 +80,7 @@ def test_spatial_sort_recall_on_pocket_geometry():
         covered += (adj & in_window).sum()
     recall = covered / max(total, 1)
     assert recall > 0.75, recall
+@pytest.mark.slow
 
 
 def test_block_sampler_runs():

@@ -66,6 +66,7 @@ def test_dynamics_equivariance(update_kp_feat):
     # translation cancels in eps_x because it is a coordinate DIFFERENCE)
     np.testing.assert_allclose(np.asarray(eps_h_r), np.asarray(eps_h), rtol=2e-4, atol=2e-5)
     np.testing.assert_allclose(np.asarray(eps_x_r), np.asarray(eps_x @ R.T), rtol=2e-4, atol=2e-5)
+@pytest.mark.slow
 
 
 def test_padding_invariance():
@@ -107,6 +108,7 @@ def test_padding_invariance():
     np.testing.assert_allclose(np.asarray(out_b[1][:, :nl]), np.asarray(out_s[1]), rtol=2e-4, atol=1e-5)
     # padded slots produce zeros
     assert np.all(np.asarray(out_b[0][:, nl:]) == 0)
+@pytest.mark.slow
 
 
 def test_loss_runs_and_is_finite():
@@ -134,6 +136,7 @@ def test_loss_grad_finite():
     assert all(np.all(np.isfinite(np.asarray(x))) for x in leaves)
     # gradient actually flows
     assert any(float(jnp.abs(x).max()) > 0 for x in leaves)
+@pytest.mark.slow
 
 
 def test_sampler_shapes_and_frame_restoration():

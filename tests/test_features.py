@@ -7,6 +7,7 @@ import jax.numpy as jnp
 
 from kpdiff_tpu.models.complex import synthetic_batch
 from kpdiff_tpu.models.diffusion import DiffusionConfig, KeypointDiffusion, remove_fake_atoms
+@pytest.mark.slow
 
 
 def test_fake_atoms_loss_and_removal():
@@ -32,6 +33,7 @@ def test_fake_atoms_loss_and_removal():
     mask = remove_fake_atoms(h, cpx.lig_mask)
     assert not bool(mask[0, 3]) and not bool(mask[0, 4])
     assert bool(mask[0, 0])
+@pytest.mark.slow
 
 
 def test_rl_hinge_loss():
@@ -50,6 +52,7 @@ def test_rl_hinge_loss():
     # gradient flows through the hinge
     g = jax.grad(lambda p: model.loss(p, jax.random.key(1), cpx)["rl_hinge"])(params)
     assert any(float(jnp.abs(x).max()) > 0 for x in jax.tree_util.tree_leaves(g))
+@pytest.mark.slow
 
 
 def test_sharded_sampling_matches_single_device():

@@ -153,6 +153,7 @@ def build_edges(lig_x, kp_x):
     }
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("message_norm", [1.0, 0])
 def test_dynamics_matches_independent_torch_impl(message_norm):
     torch.manual_seed(0)

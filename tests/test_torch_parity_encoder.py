@@ -1,6 +1,7 @@
 """Learned EGNN receptor encoder parity vs an independent torch
 reimplementation of ReceptorEncoder semantics (receptor_encoder.py:14-555),
 through the checkpoint converter."""
+import pytest
 import numpy as np
 import torch
 import torch.nn as tnn
@@ -104,6 +105,7 @@ class TorchRefEncoder(tnn.Module):
         kp_feat = torch.stack(feats)
         kp_feat = self.rec_kp_conv.layer_norm(self.rec_kp_conv.kp_feature_mlp(kp_feat))
         return kp_pos, kp_feat
+@pytest.mark.slow
 
 
 def test_encoder_matches_independent_torch_impl():

@@ -187,6 +187,7 @@ def build_edges(lig_x, kp_x):
     return {"ll": ll, "kl": kl, "lk": (kl[1], kl[0]), "kk": kk}
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("message_norm", ["mean", 10.0])
 def test_gvp_dynamics_matches_independent_torch_impl(message_norm):
     torch.manual_seed(3)
