@@ -1,3 +1,5 @@
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import time, numpy as np, jax
 jax.config.update("jax_compilation_cache_dir", "/tmp/kpdiff_jax_cache")
 from kpdiff_tpu.config import PaddingConfig, load_config, model_from_config
