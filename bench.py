@@ -95,6 +95,9 @@ def main():
         detail[n_lig] = {"runs": [round(t, 2) for t in times], "compile_s": round(compile_s, 1)}
 
     total_w = sum(w for n, w in BUCKET_WEIGHTS.items() if n in per_bucket)
+    if total_w == 0:
+        print(f"# all bucket measurements failed: {detail}", file=sys.stderr)
+        raise RuntimeError(f"bench: no bucket leg succeeded ({detail})")
     sec_per_ligand = sum(w * per_bucket[n] for n, w in BUCKET_WEIGHTS.items() if n in per_bucket) / total_w
     result = {
         "metric": "sample_sec_per_ligand_egnn_40kp_T1000_b128",

@@ -26,7 +26,7 @@ sample_fn = jax.jit(lambda p, r, enc, kk: model.sample(p, r, enc, kk))
 enc, kk = encode_fn(params, cpx)
 if compact:
     kk = model.compact_kk(enc, kk)
-kk_desc = "nbr" if isinstance(kk, tuple) and not isinstance(kk[0], str) else ("block" if isinstance(kk, tuple) else "dense")
+kk_desc = "block" if isinstance(kk, dict) else ("nbr" if isinstance(kk, tuple) else "dense")
 t0=time.time(); out = sample_fn(params, jax.random.key(1), enc, kk); np.asarray(out["lig_x"]); comp=time.time()-t0
 ts=[]
 for i in range(3):

@@ -13,8 +13,9 @@ analysis/data/ to pin a specific table.
 RDKit is still required for the fragment term: the fpscores table is keyed
 by RDKit's Morgan-fingerprint bit hashes, which are internal to RDKit's
 hashing and cannot be reproduced (or validated) without it. Without rdkit
-the fallback drops the fragment term (documented deviation; SA values are
-then NOT comparable to the paper's).
+calculate_sa_score returns None; with rdkit but no locatable fpscores
+table, a fragment-free approximation runs (documented deviation; those
+values are NOT comparable to the paper's scale).
 """
 from __future__ import annotations
 
@@ -41,9 +42,13 @@ FPSCORES_CANDIDATES = (
 def load_fragment_scores(path: Optional[str] = None) -> Optional[dict]:
     """Load the public fpscores fragment table (list of [score, *bitIds])
     into a bitId -> score dict. Searches FPSCORES_CANDIDATES plus the
-    rdkit contrib dir; returns None when no table is found."""
+    rdkit contrib dir; returns None when no table is found.
+
+    An explicit `path` bypasses (and refreshes) the module cache; only
+    default lookups are cached, and a failed explicit path does not poison
+    the cache."""
     global _fscores
-    if _fscores is not None:
+    if path is None and _fscores is not None:
         return _fscores or None
 
     candidates = [path] if path else list(FPSCORES_CANDIDATES)
@@ -64,7 +69,8 @@ def load_fragment_scores(path: Optional[str] = None) -> Optional[dict]:
                     table[bit] = float(row[0])
             _fscores = table
             return table
-    _fscores = False
+    if path is None:
+        _fscores = False
     return None
 
 

@@ -133,15 +133,9 @@ def main(argv=None):
     # ligand; one jit specialization per bucket actually used
     import dataclasses
 
-    lig_buckets = config.get("padding", {}).get("lig_buckets")
-    if lig_buckets == "auto":
-        from kpdiff_tpu.data.dataset import derive_lig_buckets, lig_sizes as _lig_sizes
+    from kpdiff_tpu.data.dataset import resolve_lig_buckets
 
-        lig_buckets = derive_lig_buckets(_lig_sizes(ds), pad.n_lig)
-        print(f"ligand buckets (auto from size histogram): {lig_buckets}", flush=True)
-    buckets = sorted(lig_buckets) if lig_buckets else [pad.n_lig]
-    if buckets[-1] != pad.n_lig:
-        buckets.append(pad.n_lig)
+    buckets = resolve_lig_buckets(config, ds, pad.n_lig) or [pad.n_lig]
 
     rng = jax.random.key(args.seed)
     for i in idxs:

@@ -134,12 +134,9 @@ def main(argv=None):
     # bucketed ligand padding (SURVEY §7.1 point 2): pad each complex to the
     # smallest bucket that fits instead of the full capacity; 'auto' derives
     # buckets from the training split's size distribution
-    lig_buckets = config.get("padding", {}).get("lig_buckets")
-    if lig_buckets == "auto":
-        from kpdiff_tpu.data.dataset import derive_lig_buckets, lig_sizes
+    from kpdiff_tpu.data.dataset import resolve_lig_buckets
 
-        lig_buckets = derive_lig_buckets(lig_sizes(train_ds), pad.n_lig)
-        print(f"ligand buckets (auto from size histogram): {lig_buckets}", flush=True)
+    lig_buckets = resolve_lig_buckets(config, train_ds, pad.n_lig)
 
     def loader(ds, seed, drop_last=True):
         return PaddedLoader(

@@ -181,6 +181,24 @@ def derive_lig_buckets(sizes, n_lig_pad: int, max_buckets: int = 3, align: int =
     return best
 
 
+def resolve_lig_buckets(config, ds, n_lig_pad: int):
+    """Resolve padding.lig_buckets for the CLIs: 'auto' derives buckets from
+    the dataset's size histogram; explicit lists are validated the same way
+    PaddedLoader does (largest bucket must equal the padding capacity).
+    Returns a sorted list ending in n_lig_pad, or None (no bucketing)."""
+    buckets = config.get("padding", {}).get("lig_buckets")
+    if buckets == "auto":
+        buckets = derive_lig_buckets(lig_sizes(ds), n_lig_pad) if hasattr(ds, "lig_segments") \
+            else [n_lig_pad]
+        print(f"ligand buckets (auto from size histogram): {buckets}", flush=True)
+    elif buckets:
+        buckets = sorted(int(b) for b in buckets)
+        if buckets[-1] != n_lig_pad:
+            raise ValueError(
+                f"largest lig bucket {buckets[-1]} must equal padding.n_lig {n_lig_pad}")
+    return buckets or None
+
+
 class PaddedLoader:
     """Shuffled epoch iterator producing PaddedComplex batches.
 

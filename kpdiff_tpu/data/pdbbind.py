@@ -80,7 +80,11 @@ def process_pdbbind(
                 box_padding=lig_box_padding, pocket_cutoff=pocket_cutoff,
                 element_map=rec_map,
             )
-            res_idx = atoms.res_index[byres_mask]
+            # byres_mask indexes the 'other'-element-filtered atom set
+            # (get_pocket_atoms drops them first) — filter res_index the
+            # same way before applying it
+            _, rec_other = featurize_atoms(atoms.element, rec_map)
+            res_idx = atoms.res_index[~rec_other][byres_mask]
 
             out_dir = out_root / pdb_id
             out_dir.mkdir(exist_ok=True)

@@ -207,7 +207,7 @@ class KeypointDiffusion:
             cpx.kp_x, cpx.kp_mask, cpx.kp_x, cpx.kp_mask, self.cfg.graph_cutoffs["kk"], 100, exclude_self=True
         )
 
-    def compact_kk(self, cpx: PaddedComplex, kk, align: int = 8):
+    def compact_kk(self, cpx: PaddedComplex, kk, align: int = 8, min_cap: int = 0):
         """Exact capped neighbor-list kk for sampling (dense kk layouts).
 
         kk edges are static per pocket (built once by the encoder) while the
@@ -241,7 +241,9 @@ class KeypointDiffusion:
                                          r, exclude_self=True)
         K = adj.shape[-1]
         deg = int(_jax.device_get(jnp.max(jnp.sum(adj, axis=-1))))
-        cap = min(K, max(((deg + align - 1) // align) * align, align))
+        # min_cap lets long-lived callers (serving) pin a grow-only cap so
+        # the jitted scan is not recompiled for every new pocket's degree
+        cap = min(K, max(((deg + align - 1) // align) * align, align, min_cap))
         if cap >= K and is_dense:
             return kk
         return radius_neighbor_list(

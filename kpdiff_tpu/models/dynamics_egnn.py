@@ -168,7 +168,8 @@ class EGNNDynamics(nn.Module):
     use_pallas: bool = False  # fused VMEM edge kernel (forward-only; sampling)
     # MXU-aligned t-channel: compute the hidden_nf+1-wide pair MLPs as an
     # aligned hidden_nf matmul + rank-1 correction (exact; models/egnn.py).
-    # None = auto (on when hidden_nf is a multiple of the 128 TPU lane width).
+    # None/False = off (measured slower on v5e — the sampler is HBM/VPU
+    # bound, BASELINE.md round-2); True = explicit opt-in.
     mxu_split_t: bool = None
 
     @nn.compact

@@ -64,9 +64,13 @@ class KeypointSampler:
         sample_fn = jax.jit(lambda params, rng, enc, kk, init_com:
                             model.sample(params, rng, enc, kk, init_com=init_com))
 
+        self._kk_cap = 0  # grow-only: one scan compile per cap increase
+
         def _run(params, rng, cpx, init_com):
             enc, kk = encode_fn(params, cpx)
-            kk = model.compact_kk(enc, kk)
+            kk = model.compact_kk(enc, kk, min_cap=self._kk_cap)
+            if isinstance(kk, tuple):
+                self._kk_cap = max(self._kk_cap, int(kk[0].shape[-1]))
             return sample_fn(params, rng, enc, kk, init_com)
 
         self._run = _run

@@ -76,3 +76,15 @@ def test_cli_bucketed_train_and_sample(tmp_path):
         "--max_batch_size", "2", "--max_tries", "1", "--out", str(out),
     ])
     assert (out / "pocket_0" / "raw_ligands.sdf").exists()
+
+
+def test_resolve_lig_buckets_validates_capacity():
+    from kpdiff_tpu.data.dataset import resolve_lig_buckets, synthetic_dataset
+
+    ds = synthetic_dataset(8, seed=0)
+    assert resolve_lig_buckets({}, ds, 48) is None
+    assert resolve_lig_buckets({"padding": {"lig_buckets": [48, 16]}}, ds, 48) == [16, 48]
+    with pytest.raises(ValueError):
+        resolve_lig_buckets({"padding": {"lig_buckets": [16, 64]}}, ds, 48)
+    auto = resolve_lig_buckets({"padding": {"lig_buckets": "auto"}}, ds, 48)
+    assert auto[-1] == 48

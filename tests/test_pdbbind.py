@@ -66,3 +66,33 @@ def test_dataset_size_truncation(pdbbind_raw):
     done = process_pdbbind(index, raw, processed, ["C", "N", "O"], ["C", "N", "O"],
                            dataset_size=1)
     assert len(done) == 1
+
+
+def test_unknown_element_atoms_do_not_break_res_index(tmp_path):
+    """Regression: get_pocket_atoms filters 'other'-element atoms before
+    building byres_mask; res_index must be filtered the same way (a ZN atom
+    in the receptor previously raised IndexError and silently dropped the
+    entry)."""
+    from kpdiff_tpu.data.pdb import format_pdb_line
+    from kpdiff_tpu.data.pdbbind import PDBbindDataset, process_pdbbind
+
+    rng = np.random.default_rng(3)
+    fix = tmp_path / "fix"
+    fix.mkdir()
+    pdb_path, sdf_path = _write_synthetic_complex_pdb_sdf(fix)
+    # append a zinc ATOM record near the pocket (element outside rec_elements)
+    lines = pdb_path.read_text().rstrip().splitlines()
+    lines.insert(-1, format_pdb_line(999, "ZN", "ZN", "A", 99, 20.0, 20.0, 14.0, "Zn"))
+    raw = tmp_path / "raw" / "1zzz"
+    raw.mkdir(parents=True)
+    (raw / "1zzz_protein_nowater.pdb").write_text("\n".join(lines) + "\n")
+    import shutil
+
+    shutil.copy(sdf_path, raw / "1zzz_ligand.sdf")
+    (tmp_path / "index.txt").write_text("1zzz\n")
+
+    done = process_pdbbind(tmp_path / "index.txt", tmp_path / "raw", tmp_path / "proc",
+                           ["C", "N", "O", "S"], ["C", "N", "O", "S"])
+    assert done == ["1zzz"]
+    item = PDBbindDataset(tmp_path / "proc").get(0)
+    assert item["rec_res_idx"].shape[0] == item["rec_pos"].shape[0]
