@@ -131,3 +131,40 @@ def test_checkpoint_roundtrip(tmp_path):
     assert int(restored.step) == 7
     for a, b in zip(jax.tree_util.tree_leaves(state.params), jax.tree_util.tree_leaves(restored.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.slow
+def test_data_parallel_matches_single_device_gvp():
+    """Same DP==single equivalence for the GVP architecture (learned
+    encoder + OT loss + flat vectors + kNN pair-list kl/lk)."""
+    assert jax.device_count() >= 8
+    model = KeypointDiffusion(DiffusionConfig(
+        atom_nf=10, rec_nf=16, n_timesteps=10, architecture="gvp", rec_encoder_type="learned",
+        graph_cutoffs={"rr": 3.5, "rk": 100, "kk": 8, "kl": 8, "ll": 6},
+        dynamics=dict(vector_size=4, n_convs=1, n_hidden_scalars=16, update_kp=True,
+                      message_norm="mean", kl_k=2, n_message_gvps=1, n_update_gvps=1,
+                      n_noise_gvps=2),
+        rec_encoder=dict(in_scalar_size=10, n_keypoints=4, out_scalar_size=16, vector_size=4,
+                         n_rr_convs=1, n_rk_convs=1, message_norm="mean", k_closest=2,
+                         n_message_gvps=1, n_update_gvps=1),
+        rec_encoder_loss=dict(loss_type="optimal_transport", use_interface_points=True,
+                              method="sinkhorn"),
+    ))
+    cpx = synthetic_batch(13, batch=8, n_rec_pad=20, n_lig_pad=8, n_kp=4,
+                          kp_feat_dim=16, kp_vec_dim=4, min_rec=14)
+    tcfg = TrainConfig(learning_rate=1e-3, scheduler=SchedulerConfig(base_lr=1e-3))
+    opt = make_optimizer(tcfg)
+    state = init_train_state(model, opt, jax.random.key(2), cpx)
+
+    step_single = make_train_step(model, tcfg, opt, iters_per_epoch=10)
+    s1, m1 = step_single(state, jax.random.key(3), cpx)
+
+    mesh = make_mesh(8)
+    step_dp = make_train_step(model, tcfg, opt, iters_per_epoch=10, mesh=mesh)
+    state2 = init_train_state(model, opt, jax.random.key(2), cpx)
+    s2, m2 = step_dp(state2, jax.random.key(3), shard_batch_pytree(cpx, mesh))
+
+    np.testing.assert_allclose(float(m1["l2"]), float(m2["l2"]), rtol=1e-5)
+    np.testing.assert_allclose(float(m1["rec_encoder"]), float(m2["rec_encoder"]), rtol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params), jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5)
