@@ -238,33 +238,36 @@ class GVPEdgeMessagesDense(nn.Module):
 
         ns, nd = adj.shape[1], adj.shape[2]
         b = adj.shape[0]
-        if flat:
-            # x_unit IS the flat form of one vector channel; channel order
-            # [x_unit, v_src(, v_dst)] matches the 'vc' concat along -2
-            vec_in = [x_unit, jnp.broadcast_to(v_src[:, :, None], (b, ns, nd, v_src.shape[-1]))]
-        else:
-            vec_in = [x_unit[:, :, :, None, :], jnp.broadcast_to(v_src[:, :, None], (b, ns, nd, *v_src.shape[2:]))]
-        scl_in = [jnp.broadcast_to(h_src[:, :, None], (b, ns, nd, h_src.shape[-1])), rbf]
-        if self.edge_feat_size > 0:
-            scl_in.append(edge_feat)
-        if self.use_dst_feats:
-            if flat:
-                vec_in.append(jnp.broadcast_to(v_dst[:, None], (b, ns, nd, v_dst.shape[-1])))
-            else:
-                vec_in.append(jnp.broadcast_to(v_dst[:, None], (b, ns, nd, *v_dst.shape[2:])))
-            scl_in.append(jnp.broadcast_to(h_dst[:, None], (b, ns, nd, h_dst.shape[-1])))
-
-        vectors = jnp.concatenate(vec_in, axis=-1 if flat else -2)
-        scalars = jnp.concatenate(scl_in, axis=-1)
-
         extra_v = 1 + (self.vector_size if self.use_dst_feats else 0)
         extra_s = self.rbf_dim + self.edge_feat_size + (self.scalar_size if self.use_dst_feats else 0)
-        msg_s, msg_v = GVPChain(
-            _message_specs(self.scalar_size, self.vector_size, self.n_message_gvps, extra_s, extra_v),
-            dtype=self.dtype,
-            vec_layout=self.vec_layout,
-            name="message",
-        )((scalars, vectors))
+        specs = _message_specs(self.scalar_size, self.vector_size, self.n_message_gvps, extra_s, extra_v)
+        if flat:
+            # factorized first GVP: per-node pieces stay per-node rank (the
+            # broadcast happens in the post-matmul add); piece order matches
+            # the reference concat order [h_src, rbf(, ef)(, h_dst)] /
+            # [x_unit, v_src(, v_dst)]
+            scl_pieces = [h_src[:, :, None, :], rbf]
+            vec_pieces = [x_unit, v_src[:, :, None, :]]
+            if self.edge_feat_size > 0:
+                scl_pieces.append(edge_feat)
+            if self.use_dst_feats:
+                vec_pieces.append(v_dst[:, None, :, :])
+                scl_pieces.append(h_dst[:, None, :, :])
+            msg_s, msg_v = FactorizedGVPChain(specs, dtype=self.dtype, name="message")(
+                scl_pieces, vec_pieces)
+        else:
+            vec_in = [x_unit[:, :, :, None, :], jnp.broadcast_to(v_src[:, :, None], (b, ns, nd, *v_src.shape[2:]))]
+            scl_in = [jnp.broadcast_to(h_src[:, :, None], (b, ns, nd, h_src.shape[-1])), rbf]
+            if self.edge_feat_size > 0:
+                scl_in.append(edge_feat)
+            if self.use_dst_feats:
+                vec_in.append(jnp.broadcast_to(v_dst[:, None], (b, ns, nd, *v_dst.shape[2:])))
+                scl_in.append(jnp.broadcast_to(h_dst[:, None], (b, ns, nd, h_dst.shape[-1])))
+            vectors = jnp.concatenate(vec_in, axis=-2)
+            scalars = jnp.concatenate(scl_in, axis=-1)
+            msg_s, msg_v = GVPChain(
+                specs, dtype=self.dtype, vec_layout=self.vec_layout, name="message",
+            )((scalars, vectors))
 
         adj_f = adj.astype(msg_s.dtype)
         agg_s = jnp.einsum("bsd,bsdf->bdf", adj_f, msg_s, preferred_element_type=jnp.float32)
@@ -313,28 +316,32 @@ class GVPEdgeMessagesNbr(nn.Module):
         x_unit = diff / dij
         rbf = rbf_embed(dij[..., 0], 0.0, self.rbf_dmax, self.rbf_dim)
 
-        vec_in = [x_unit if flat else x_unit[:, :, :, None, :], v_nbr]
-        scl_in = [h_nbr, rbf]
-        if self.edge_feat_size > 0:
-            scl_in.append(edge_feat)
-        if self.use_dst_feats:
-            if flat:
-                vec_in.append(jnp.broadcast_to(v_dst[:, :, None], (b, nd, kn, v_dst.shape[-1])))
-            else:
-                vec_in.append(jnp.broadcast_to(v_dst[:, :, None], (b, nd, kn, *v_dst.shape[2:])))
-            scl_in.append(jnp.broadcast_to(h_dst[:, :, None], (b, nd, kn, h_dst.shape[-1])))
-
-        vectors = jnp.concatenate(vec_in, axis=-1 if flat else -2)
-        scalars = jnp.concatenate(scl_in, axis=-1)
-
         extra_v = 1 + (self.vector_size if self.use_dst_feats else 0)
         extra_s = self.rbf_dim + self.edge_feat_size + (self.scalar_size if self.use_dst_feats else 0)
-        msg_s, msg_v = GVPChain(
-            _message_specs(self.scalar_size, self.vector_size, self.n_message_gvps, extra_s, extra_v),
-            dtype=self.dtype,
-            vec_layout=self.vec_layout,
-            name="message",
-        )((scalars, vectors))
+        specs = _message_specs(self.scalar_size, self.vector_size, self.n_message_gvps, extra_s, extra_v)
+        if flat:
+            scl_pieces = [h_nbr, rbf]
+            vec_pieces = [x_unit, v_nbr]
+            if self.edge_feat_size > 0:
+                scl_pieces.append(edge_feat)
+            if self.use_dst_feats:
+                vec_pieces.append(v_dst[:, :, None, :])
+                scl_pieces.append(h_dst[:, :, None, :])
+            msg_s, msg_v = FactorizedGVPChain(specs, dtype=self.dtype, name="message")(
+                scl_pieces, vec_pieces)
+        else:
+            vec_in = [x_unit[:, :, :, None, :], v_nbr]
+            scl_in = [h_nbr, rbf]
+            if self.edge_feat_size > 0:
+                scl_in.append(edge_feat)
+            if self.use_dst_feats:
+                vec_in.append(jnp.broadcast_to(v_dst[:, :, None], (b, nd, kn, *v_dst.shape[2:])))
+                scl_in.append(jnp.broadcast_to(h_dst[:, :, None], (b, nd, kn, h_dst.shape[-1])))
+            vectors = jnp.concatenate(vec_in, axis=-2)
+            scalars = jnp.concatenate(scl_in, axis=-1)
+            msg_s, msg_v = GVPChain(
+                specs, dtype=self.dtype, vec_layout=self.vec_layout, name="message",
+            )((scalars, vectors))
 
         vf = nbr_valid[..., None].astype(msg_s.dtype)
         agg_s = jnp.sum((msg_s * vf).astype(jnp.float32), axis=2)
@@ -395,37 +402,39 @@ class GVPEdgeMessagesKNNPairs(nn.Module):
         x_unit = diff / dij
         rbf = rbf_embed(dij[..., 0], 0.0, self.rbf_dmax, self.rbf_dim)
 
-        def bcast_anchor(a):
-            return jnp.broadcast_to(a[:, :, None], (b, K, k, a.shape[-1]))
-
-        def bcast_anchor_vc(a):
-            return jnp.broadcast_to(a[:, :, None], (b, K, k, *a.shape[2:]))
+        if flat:
+            # lazily-expanded anchor pieces: the factorized first GVP never
+            # materializes the broadcast (the add after the matmul does it)
+            anchor_h, anchor_v = h_anchor[:, :, None, :], v_anchor[:, :, None, :]
+        else:
+            anchor_h = jnp.broadcast_to(h_anchor[:, :, None], (b, K, k, h_anchor.shape[-1]))
+            anchor_v = jnp.broadcast_to(v_anchor[:, :, None], (b, K, k, *v_anchor.shape[2:]))
 
         if self.anchor_is_src:
-            h_src_e, v_src_e = (bcast_anchor(h_anchor), bcast_anchor(v_anchor)) if flat else (
-                bcast_anchor(h_anchor), bcast_anchor_vc(v_anchor))
-            h_dst_e, v_dst_e = (h_g, v_g)
+            h_src_e, v_src_e = anchor_h, anchor_v
+            h_dst_e, v_dst_e = h_g, v_g
         else:
             h_src_e, v_src_e = h_g, v_g
-            h_dst_e, v_dst_e = (bcast_anchor(h_anchor), bcast_anchor(v_anchor)) if flat else (
-                bcast_anchor(h_anchor), bcast_anchor_vc(v_anchor))
-
-        vec_in = [x_unit if flat else x_unit[:, :, :, None, :], v_src_e]
-        scl_in = [h_src_e, rbf]
-        if self.use_dst_feats:
-            vec_in.append(v_dst_e)
-            scl_in.append(h_dst_e)
-        vectors = jnp.concatenate(vec_in, axis=-1 if flat else -2)
-        scalars = jnp.concatenate(scl_in, axis=-1)
+            h_dst_e, v_dst_e = anchor_h, anchor_v
 
         extra_v = 1 + (self.vector_size if self.use_dst_feats else 0)
         extra_s = self.rbf_dim + self.edge_feat_size + (self.scalar_size if self.use_dst_feats else 0)
-        msg_s, msg_v = GVPChain(
-            _message_specs(self.scalar_size, self.vector_size, self.n_message_gvps, extra_s, extra_v),
-            dtype=self.dtype,
-            vec_layout=self.vec_layout,
-            name="message",
-        )((scalars, vectors))
+        specs = _message_specs(self.scalar_size, self.vector_size, self.n_message_gvps, extra_s, extra_v)
+        if flat:
+            msg_s, msg_v = FactorizedGVPChain(specs, dtype=self.dtype, name="message")(
+                [h_src_e, rbf] + ([h_dst_e] if self.use_dst_feats else []),
+                [x_unit, v_src_e] + ([v_dst_e] if self.use_dst_feats else []))
+        else:
+            vec_in = [x_unit[:, :, :, None, :], v_src_e]
+            scl_in = [h_src_e, rbf]
+            if self.use_dst_feats:
+                vec_in.append(v_dst_e)
+                scl_in.append(h_dst_e)
+            vectors = jnp.concatenate(vec_in, axis=-2)
+            scalars = jnp.concatenate(scl_in, axis=-1)
+            msg_s, msg_v = GVPChain(
+                specs, dtype=self.dtype, vec_layout=self.vec_layout, name="message",
+            )((scalars, vectors))
 
         vf = valid[..., None].astype(msg_s.dtype)
         if self.anchor_is_src:
@@ -451,3 +460,119 @@ class GVPEdgeMessagesKNNPairs(nn.Module):
             agg_s = agg_s / cnt
             agg_v = agg_v / (cnt if flat else cnt[..., None])
         return agg_s, agg_v
+
+
+class _SplitLinear(nn.Module):
+    """TorchLinear over a CONCATENATION, computed without materializing it:
+    y = concat(pieces) @ K + b == sum_i pieces[i] @ K[rows_i] + b.
+    Parameter names/shapes/init identical to TorchLinear at fan_in =
+    sum of piece widths, so the param tree matches the concat formulation."""
+
+    features: int
+    fan_in: int
+    dtype: str = "float32"
+
+    @nn.compact
+    def __call__(self, pieces):
+        from kpdiff_tpu.models.nn import torch_bias_init, torch_kernel_init
+
+        kernel = self.param("kernel", torch_kernel_init, (self.fan_in, self.features))
+        bias = self.param("bias", lambda k, s: torch_bias_init(k, s, fan_in=self.fan_in),
+                          (self.features,))
+        cd = jnp.dtype(self.dtype)
+        kc = kernel.astype(cd)
+        off, y = 0, None
+        for piece in pieces:
+            w = piece.shape[-1]
+            t = piece.astype(cd) @ kc[off:off + w]
+            y = t if y is None else y + t
+            off += w
+        assert off == self.fan_in, (off, self.fan_in)
+        return y + bias.astype(cd)
+
+
+class GVPFactorizedFirst(nn.Module):
+    """First GVP of an edge-message chain with the concat inputs factorized
+    (flat vec layout only). Edge-message inputs are concats of PER-NODE
+    tensors (broadcast to pair rank) and per-pair tensors; computing
+    piece @ W_slice before the broadcast-add moves the wide matmuls to
+    per-node cost and never materializes the broadcast concat — the same
+    trick as the EGNN first-layer factorization (models/egnn.py).
+    Parameter tree identical to GVP (Wh, Wu, to_feats_out,
+    scalar_to_vector_gates)."""
+
+    dim_vectors_in: int
+    dim_vectors_out: int
+    dim_feats_in: int
+    dim_feats_out: int
+    hidden_vectors: Optional[int] = None
+    feats_activation: str = "silu"
+    vectors_activation: str = "sigmoid"
+    vector_gating: bool = True
+    dtype: str = "float32"
+
+    @nn.compact
+    def __call__(self, scalar_pieces, vector_pieces):
+        cd = jnp.dtype(self.dtype)
+        v_in = self.dim_vectors_in
+        dim_h = self.hidden_vectors or max(v_in, self.dim_vectors_out)
+
+        def uinit(bound):
+            def init(key, shape, dtype=jnp.float32):
+                return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+            return init
+
+        Wh = self.param("Wh", uinit(1.0 / (v_in**0.5)), (v_in, dim_h))
+        Wu = self.param("Wu", uinit(1.0 / (dim_h**0.5)), (dim_h, self.dim_vectors_out))
+
+        Wh3 = _kron3(Wh.astype(cd))
+        off, Vh = 0, None
+        for piece in vector_pieces:
+            w3 = piece.shape[-1]
+            t = piece.astype(cd) @ Wh3[off:off + w3]
+            Vh = t if Vh is None else Vh + t
+            off += w3
+        assert off == 3 * v_in, (off, 3 * v_in)
+        Vu = Vh @ _kron3(Wu.astype(cd))
+        sh = jnp.sqrt(jnp.clip(
+            jnp.square(Vh.astype(jnp.float32)) @ _group3(dim_h, jnp.float32), min=1e-8))
+
+        feats_out = _SplitLinear(
+            self.dim_feats_out, self.dim_feats_in + dim_h, dtype=self.dtype,
+            name="to_feats_out",
+        )(list(scalar_pieces) + [sh])
+        if self.feats_activation == "silu":
+            feats_out = nn.silu(feats_out)
+        elif self.feats_activation != "identity":
+            raise ValueError(self.feats_activation)
+
+        u = self.dim_vectors_out
+        if self.vector_gating:
+            gating = TorchLinear(u, dtype=self.dtype, name="scalar_to_vector_gates")(feats_out)
+        else:
+            gating = jnp.sqrt(jnp.clip(
+                jnp.square(Vu.astype(jnp.float32)) @ _group3(u, jnp.float32), min=1e-8)).astype(cd)
+        if self.vectors_activation == "sigmoid":
+            gate = nn.sigmoid(gating)
+        elif self.vectors_activation == "identity":
+            gate = gating
+        else:
+            raise ValueError(self.vectors_activation)
+        return feats_out, (gate @ _group3(u, gate.dtype).T) * Vu
+
+
+class FactorizedGVPChain(nn.Module):
+    """GVPChain whose first GVP takes factorized (unmaterialized) concat
+    inputs; param paths identical to GVPChain (gvp0, gvp1, ...)."""
+
+    specs: Sequence[dict]
+    dtype: str = "float32"
+
+    @nn.compact
+    def __call__(self, scalar_pieces, vector_pieces):
+        data = GVPFactorizedFirst(**self.specs[0], dtype=self.dtype, name="gvp0")(
+            scalar_pieces, vector_pieces)
+        for i, spec in enumerate(self.specs[1:], start=1):
+            data = GVP(**spec, dtype=self.dtype, vec_layout="flat", name=f"gvp{i}")(data)
+        return data
