@@ -8,10 +8,10 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Protocol (mirrors cli/sample.py): encode the pocket once, compact the
 static kk edge set to an exact capped neighbor list, then run the jitted
 1000-step scan at batch 128. Ligand padding uses the bucketed sizes the
-sampler really runs at: the BindingMOAD ligand-size marginal puts 94.6%
-of pockets in the 32-atom bucket and the rest in the 48 bucket
-(train_n_node_joint_dist.pkl), so the reported value is the
-0.946/0.054-weighted mixture of both measured buckets.
+sampler really runs at (padding.lig_buckets auto-derives [16, 32, 48]):
+the BindingMOAD ligand-size marginal (train_n_node_joint_dist.pkl) puts
+45.9% of pockets in the 16-atom bucket, 49.0% in 32 and 5.1% in 48, so
+the reported value is that weighted mixture of the measured buckets.
 
 Baseline note: the reference repo publishes no numbers and its checkpoints
 are stripped (BASELINE.md), so `vs_baseline` is computed against
@@ -28,7 +28,7 @@ import sys
 import time
 
 BASELINE_SEC_PER_LIGAND = 1.0  # assumed A100 torch reference; see note above
-BUCKET_WEIGHTS = {32: 0.946, 48: 0.054}  # P(n_lig <= 32) from the size histogram
+BUCKET_WEIGHTS = {16: 0.4585, 32: 0.4903, 48: 0.0511}  # ligand-size marginal CDF
 
 
 def measure_bucket(model, pad, n_lig, batch=128):
