@@ -70,3 +70,22 @@ def test_gvp_dynamics_flat_grads_match():
     g_fl = jax.grad(lambda p: m_fl.loss(p, jax.random.key(1), cpx)["l2"])(params)
     for a, b in zip(jax.tree_util.tree_leaves(g_vc), jax.tree_util.tree_leaves(g_fl)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=5e-3, atol=3e-5)
+
+
+@pytest.mark.slow
+def test_gvp_compact_kk_exact():
+    """compact_kk's capped neighbor list must reproduce dense-kk sampling
+    for the GVP architecture too (update_kp=True routes kk through
+    GVPEdgeMessagesNbr)."""
+    m = mk_dyn("flat")
+    cpx = synthetic_batch(41, batch=2, n_rec_pad=32, n_lig_pad=10, n_kp=5,
+                          kp_feat_dim=24, kp_vec_dim=4, min_rec=20)
+    params = m.init(jax.random.key(0), cpx)
+    enc, kk = m.encode(params, cpx)
+    kk_c = m.compact_kk(enc, kk, align=2)  # force a cap < K so the nbr path runs
+    out_d = m.sample(params, jax.random.key(1), enc, kk)
+    out_c = m.sample(params, jax.random.key(1), enc, kk_c)
+    np.testing.assert_allclose(np.asarray(out_c["lig_x"]), np.asarray(out_d["lig_x"]),
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(out_c["lig_h"]), np.asarray(out_d["lig_h"]),
+                               rtol=1e-3, atol=1e-3)
