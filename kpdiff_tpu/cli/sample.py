@@ -48,6 +48,10 @@ def parse_args(argv=None):
     p.add_argument("--ligand_size", type=str, default="ref",
                    help="'ref' (reference ligand count, test.py behavior), 'random' "
                         "(joint size distribution, sample_random_sizes equivalent), or an int")
+    p.add_argument("--sample_steps", type=int, default=0,
+                   help="opt-in strided sampling: run K < n_timesteps ancestral "
+                        "steps on a subsampled grid (~T/K x faster, some quality "
+                        "cost); 0 = the reference's full chain")
     p.add_argument("--visualize", action="store_true")
     p.add_argument("--frames_every", type=int, default=50)
     p.add_argument("--seed", type=int, default=0)
@@ -110,7 +114,8 @@ def main(argv=None):
     @jax.jit
     def sample_fn(params, rng, enc, kk, init_com):
         return model.sample(params, rng, enc, kk, init_com=init_com,
-                            return_every=args.frames_every if args.visualize else 0)
+                            return_every=args.frames_every if args.visualize else 0,
+                            sample_steps=args.sample_steps)
 
 
 

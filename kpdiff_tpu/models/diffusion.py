@@ -386,6 +386,7 @@ class KeypointDiffusion:
         kk_edges: Any,
         init_com: Optional[jnp.ndarray] = None,
         return_every: int = 0,
+        sample_steps: int = 0,
     ):
         """Reverse diffusion from encoded receptors; one lax.scan over T steps
         (reference loop: ligand_diffuser.py:342-469,497-538).
@@ -394,6 +395,12 @@ class KeypointDiffusion:
         reference-ligand COM or the rec-atom COM, ligand_diffuser.py:355-363).
         Defaults to the pocket-atom COM, falling back to the keypoint COM for
         fixed encoders whose rec nodes are gone.
+
+        `sample_steps` (opt-in, BEYOND the reference): run only K < T
+        ancestral steps on a strided timestep grid. The p(z_s|z_t) algebra
+        (sigma_and_alpha_t_given_s) is exact for ANY t > s, so this is the
+        standard subsampled-DDPM sampler — ~T/K x faster at some sample
+        quality cost. 0 (default) = the reference's full T-step chain.
 
         Returns dict with lig_x, lig_h (unnormalized, input frame), kp_x, and
         optionally trajectory frames every `return_every` steps.
@@ -422,11 +429,11 @@ class KeypointDiffusion:
 
         T = cfg.n_timesteps
 
-        def step(carry, s):
+        def step(carry, ts):
             lig_x, lig_h, kp_x, key = carry
             key, k_nx, k_nh = jax.random.split(key, 3)
-            s_arr = jnp.full((b,), s, jnp.float32) / T
-            t_arr = jnp.full((b,), s + 1, jnp.float32) / T
+            s_arr = jnp.full((b,), ts[1], jnp.float32) / T
+            t_arr = jnp.full((b,), ts[0], jnp.float32) / T
 
             gamma_s = self.schedule.gamma(s_arr)
             gamma_t = self.schedule.gamma(t_arr)
@@ -457,7 +464,14 @@ class KeypointDiffusion:
                 out = (lig_x, lig_h, kp_x)
             return (lig_x, lig_h, kp_x, key), out
 
-        steps = jnp.arange(T - 1, -1, -1)
+        if sample_steps and sample_steps < T:
+            import numpy as _np
+
+            grid = jnp.asarray(_np.unique(
+                _np.round(_np.linspace(0, T, sample_steps + 1)).astype(_np.int32))[::-1].copy())
+        else:
+            grid = jnp.arange(T, -1, -1)
+        steps = jnp.stack([grid[:-1], grid[1:]], axis=1)  # (K, 2) pairs t > s, ending at s=0
         (lig_x, lig_h, kp_x, _), frames = jax.lax.scan(step, (lig_x, lig_h, kp_x, k_scan), steps)
 
         # back to the input frame (ligand_diffuser.py:437-447)
@@ -474,7 +488,7 @@ class KeypointDiffusion:
         if return_every and frames is not None:
             f_x, f_h, f_kp = frames
             stride = return_every
-            idx = jnp.arange(0, T, stride)
+            idx = jnp.arange(0, int(steps.shape[0]), stride)
             # frames are stored in scan order (t = T-1 ... 0)
             f_kp_com = masked_com(
                 f_kp[idx].reshape(-1, *f_kp.shape[2:]),

@@ -25,7 +25,10 @@ class KeypointSampler:
         checkpoint_step: Optional[int] = None,
         batch_size: int = 64,
         seed: int = 0,
+        sample_steps: int = 0,
     ):
+        """sample_steps: opt-in strided sampling (K < n_timesteps ancestral
+        steps, ~T/K x faster at some quality cost); 0 = full chain."""
         import jax
 
         from kpdiff_tpu.config import PaddingConfig, load_config, model_from_config, resolve_feature_sizes
@@ -62,7 +65,8 @@ class KeypointSampler:
         # then run the jitted reverse-diffusion scan
         encode_fn = jax.jit(model.encode)
         sample_fn = jax.jit(lambda params, rng, enc, kk, init_com:
-                            model.sample(params, rng, enc, kk, init_com=init_com))
+                            model.sample(params, rng, enc, kk, init_com=init_com,
+                                         sample_steps=sample_steps))
 
         self._kk_cap = 0  # grow-only: one scan compile per cap increase
 

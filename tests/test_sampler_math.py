@@ -73,3 +73,34 @@ def test_one_reverse_step_matches_torch_formula():
     out = model.sample({}, jax.random.key(1), enc, kk)
     lig = np.asarray(out["lig_x"][0])
     assert np.all(np.isfinite(lig))
+
+
+def test_strided_sampling_equals_full_when_K_is_T():
+    """sample_steps=T (or 0) must reproduce the reference's full chain
+    bitwise — the pair formulation only generalizes the timestep grid."""
+    import jax
+    import jax.numpy as jnp
+
+    from kpdiff_tpu.models.complex import synthetic_batch
+    from kpdiff_tpu.models.diffusion import DiffusionConfig, KeypointDiffusion
+
+    model = KeypointDiffusion(DiffusionConfig(
+        atom_nf=10, rec_nf=10, n_timesteps=12, rec_encoder_type="fixed",
+        dynamics=dict(n_layers=1, hidden_nf=16, use_tanh=True, message_norm=1, kl_k=3),
+    ))
+    cpx = synthetic_batch(5, batch=2, n_rec_pad=16, n_lig_pad=8, n_kp=16, kp_feat_dim=10, min_rec=10)
+    params = model.init(jax.random.key(0), cpx)
+    enc, kk = model.encode(params, cpx)
+
+    full = model.sample(params, jax.random.key(1), enc, kk)
+    same = model.sample(params, jax.random.key(1), enc, kk, sample_steps=12)
+    np.testing.assert_array_equal(np.asarray(full["lig_x"]), np.asarray(same["lig_x"]))
+    np.testing.assert_array_equal(np.asarray(full["lig_h"]), np.asarray(same["lig_h"]))
+
+    # strided chain: 4 steps instead of 12 — finite, frame-correct, COM-free
+    fast = model.sample(params, jax.random.key(1), enc, kk, sample_steps=4)
+    assert np.all(np.isfinite(np.asarray(fast["lig_x"])))
+    assert not np.allclose(np.asarray(fast["lig_x"]), np.asarray(full["lig_x"]))
+    lm = np.asarray(enc.lig_mask)[..., None]
+    # keypoints restored to the input frame in both cases
+    np.testing.assert_allclose(np.asarray(fast["kp_x"]), np.asarray(full["kp_x"]), atol=1e-5)
