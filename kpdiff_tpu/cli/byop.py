@@ -25,6 +25,8 @@ def parse_args(argv=None):
     p.add_argument("--ligand_file", type=str, required=True, help="reference ligand SDF defining the pocket")
     p.add_argument("--out", type=str, default="byop_out")
     p.add_argument("--n_mols", type=int, default=32)
+    p.add_argument("--sample_steps", type=int, default=0,
+                   help="opt-in strided sampling (K < n_timesteps ancestral steps); 0 = full chain")
     p.add_argument("--max_batch_size", type=int, default=64)
     p.add_argument("--ligand_size", type=str, default="random",
                    help="'random' (joint size dist), 'ref' (reference ligand count), or an integer")
@@ -130,10 +132,17 @@ def main(argv=None):
     state = load_checkpoint(run_dir / "checkpoints", state, step=args.checkpoint_step)
     params = state.params
 
-    @jax.jit
+    encode_fn = jax.jit(model.encode)
+    sample_fn = jax.jit(lambda params, rng, enc, kk, init_com:
+                        model.sample(params, rng, enc, kk, init_com=init_com,
+                                     sample_steps=args.sample_steps))
+
     def sample_batch(params, rng, cpx, init_com):
-        enc, kk = model.encode(params, cpx)
-        return model.sample(params, rng, enc, kk, init_com=init_com), enc
+        # encode once per batch; compact the static kk edges to the exact
+        # capped neighbor list before the reverse-diffusion scan
+        enc, kk = encode_fn(params, cpx)
+        kk = model.compact_kk(enc, kk)
+        return sample_fn(params, rng, enc, kk, init_com), enc
 
     out_dir = Path(args.out)
     out_dir.mkdir(parents=True, exist_ok=True)
