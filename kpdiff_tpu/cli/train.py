@@ -29,6 +29,9 @@ def parse_args(argv=None):
     p.add_argument("--config", type=str, default=None)
     p.add_argument("--resume", type=str, default=None, help="run dir to resume from")
     p.add_argument("--synthetic", type=int, default=0, help="train on N synthetic complexes (smoke/benchmark)")
+    p.add_argument("--synthetic_mol", type=int, default=0,
+                   help="train on N molecule-like synthetic complexes (data/molgen.py; "
+                        "learnable structure for trained-model demonstrations)")
     p.add_argument("--epochs", type=float, default=None)
     p.add_argument("--batch_size", type=int, default=None)
     p.add_argument("--learning_rate", type=float, default=None)
@@ -113,7 +116,19 @@ def main(argv=None):
 
     # ---- dataset
     ds_cfg = config["dataset"]
-    if args.synthetic:
+    if args.synthetic_mol:
+        from kpdiff_tpu.data.molgen import molecular_synthetic_dataset
+
+        lig_range = (min(10, max(pad.n_lig // 2, 2)), min(32, pad.n_lig))
+        rec_range = (min(192, pad.n_rec // 2), pad.n_rec)
+        train_ds = molecular_synthetic_dataset(
+            args.synthetic_mol, seed=args.seed, lig_elements=ds_cfg["lig_elements"],
+            n_rec_feat=n_rec_feat, lig_range=lig_range, rec_range=rec_range)
+        test_ds = molecular_synthetic_dataset(
+            max(args.synthetic_mol // 8, 4), seed=args.seed + 1,
+            lig_elements=ds_cfg["lig_elements"], n_rec_feat=n_rec_feat,
+            lig_range=lig_range, rec_range=rec_range)
+    elif args.synthetic:
         rec_range = (min(24, pad.n_rec // 2), pad.n_rec)
         lig_range = (min(8, max(pad.n_lig // 2, 2)), pad.n_lig)
         train_ds = synthetic_dataset(args.synthetic, seed=args.seed, n_rec_feat=n_rec_feat,
@@ -197,14 +212,21 @@ def main(argv=None):
     from kpdiff_tpu.analysis.analyzer import ModelAnalyzer
 
     samp_cfg = config.get("sampling_config", {})
+    # training-split atom-type histogram -> analyzer KL metric (reference
+    # LigandTypeDistribution, metrics.py:211-236)
+    from kpdiff_tpu.data.molgen import type_counts as _type_counts
+
     analyzer = ModelAnalyzer(
         model, test_ds, pad, lig_elements=ds_cfg["lig_elements"],
         n_receptors=min(samp_cfg.get("n_receptors", 2), 4),
         n_replicates=min(samp_cfg.get("n_replicates", 4), 8),
+        train_type_counts=_type_counts(train_ds),
         seed=args.seed + 11,
     )
     sample_interval = tr.get("sample_interval", 0)
-    last_sample_marker = 0.0
+    # fire once at epoch ~0 so the run records the UNTRAINED molecule-metric
+    # baseline the later rows are compared against
+    last_sample_marker = -sample_interval if sample_interval else 0.0
 
     rng = jax.random.key(args.seed + 1)
     test_interval = tr.get("test_interval", 1)

@@ -1,0 +1,79 @@
+"""Molecule-like synthetic data generator (data/molgen.py): the training
+distribution must sit at the optimum of the analyzer metrics, otherwise the
+trained-model demonstration (VERDICT r2 item 1) proves nothing."""
+import numpy as np
+import pytest
+
+from kpdiff_tpu.analysis.metrics import evaluate_samples
+from kpdiff_tpu.analysis.molecule_builder import perceive_bonds
+from kpdiff_tpu.data.molgen import (
+    element_probs,
+    molecular_synthetic_dataset,
+    random_molecule,
+    type_counts,
+)
+
+ELEMS = ["C", "N", "O", "S", "P", "F", "Cl", "Br", "I", "B"]
+
+
+def test_random_molecule_is_valid_and_connected():
+    rng = np.random.default_rng(0)
+    positions, elements = [], []
+    for i in range(30):
+        x, t = random_molecule(rng, int(rng.integers(8, 33)), ELEMS)
+        assert len(t) >= 8
+        positions.append(x)
+        elements.append([ELEMS[j] for j in t])
+    m = evaluate_samples(positions, elements, element_list=ELEMS)
+    assert m["validity"] == 1.0
+    assert m["connectivity"] == 1.0
+    assert m["atom_validity"] == 1.0
+    assert m["avg_frag_frac"] == 1.0
+
+
+def test_perceived_bonds_form_spanning_tree():
+    # placement margins guarantee bond perception recovers exactly n-1 bonds
+    rng = np.random.default_rng(3)
+    for _ in range(10):
+        x, t = random_molecule(rng, 24, ELEMS)
+        bonds = perceive_bonds(x, [ELEMS[j] for j in t])
+        assert len(bonds) == len(t) - 1
+
+
+def test_element_distribution_mostly_carbon():
+    rng = np.random.default_rng(1)
+    counts = np.zeros(len(ELEMS))
+    for _ in range(40):
+        _, t = random_molecule(rng, 30, ELEMS)
+        counts += np.bincount(t, minlength=len(ELEMS))
+    frac = counts / counts.sum()
+    assert frac[0] > 0.55  # C dominates
+    assert frac[1] > 0.03 and frac[2] > 0.03  # N, O present
+
+
+def test_dataset_schema_and_padding():
+    from kpdiff_tpu.config import PaddingConfig
+    from kpdiff_tpu.data.dataset import pad_item
+
+    ds = molecular_synthetic_dataset(8, seed=0, lig_elements=ELEMS, n_rec_feat=10,
+                                     lig_range=(10, 24), rec_range=(96, 192))
+    assert len(ds) == 8
+    pad = PaddingConfig(n_rec=384, n_lig=32, n_ip=32)
+    for i in range(8):
+        item = ds.get(i)
+        assert item["lig_pos"].shape[0] == item["lig_feat"].shape[0]
+        assert item["rec_pos"].shape[0] >= 96
+        # pocket shell wraps the ligand: no receptor atom inside the molecule
+        dmin = np.linalg.norm(
+            item["rec_pos"][:, None] - item["lig_pos"][None], axis=-1).min()
+        assert dmin > 1.0
+        out = pad_item(item, pad)
+        assert out is not None and out["lig_mask"].sum() == item["lig_pos"].shape[0]
+
+    tc = type_counts(ds)
+    assert tc.sum() > 0 and tc[0] == tc.max()  # carbon-dominated
+
+
+def test_probs_normalized_over_subset():
+    p = element_probs(["C", "N", "O"])
+    assert abs(p.sum() - 1) < 1e-12 and p[0] > 0.5
