@@ -2,8 +2,13 @@
 
 The reference's only serving story is re-running CLI scripts per pocket
 (byop.py / test.py). This wraps the same pipeline as a resident object:
-the jitted encode+scan executable is compiled once and reused across
-requests (per ligand-size bucket), with host chemistry on the way out.
+one jitted encode+scan executable is compiled per (ligand-size bucket,
+kk cap) actually used and reused across requests, with host chemistry on
+the way out. Each request batch is padded to the smallest bucket that
+fits its largest requested ligand (the same ~30% win the CLIs get from
+cli/sample.py's bucketing); buckets come from the run config's
+padding.lig_buckets when it is an explicit list, else a multiples-of-8
+ladder up to the padding capacity.
 
     from kpdiff_tpu.serve import KeypointSampler
     s = KeypointSampler("runs/egnn_40kp_.../", batch_size=64)
@@ -26,9 +31,13 @@ class KeypointSampler:
         batch_size: int = 64,
         seed: int = 0,
         sample_steps: int = 0,
+        lig_buckets: Optional[List[int]] = None,
     ):
         """sample_steps: opt-in strided sampling (K < n_timesteps ancestral
-        steps, ~T/K x faster at some quality cost); 0 = full chain."""
+        steps, ~T/K x faster at some quality cost); 0 = full chain.
+        lig_buckets: ascending ligand-padding buckets (last must equal the
+        config's padding.n_lig); None resolves from the run config or falls
+        back to a multiples-of-8 ladder."""
         import jax
 
         from kpdiff_tpu.config import PaddingConfig, load_config, model_from_config, resolve_feature_sizes
@@ -44,6 +53,19 @@ class KeypointSampler:
         self.kp_vec_dim = (
             self.model.cfg.rec_encoder.get("vector_size", 16) if self.model.cfg.architecture == "gvp" else None
         )
+
+        if lig_buckets is None:
+            cfg_buckets = self.config.get("padding", {}).get("lig_buckets")
+            if isinstance(cfg_buckets, (list, tuple)) and cfg_buckets:
+                lig_buckets = sorted(int(b) for b in cfg_buckets)
+            else:  # 'auto'/absent: no histogram at serving time -> 8-ladder
+                lig_buckets = list(range(8, self.pad.n_lig + 1, 8))
+                if not lig_buckets or lig_buckets[-1] != self.pad.n_lig:
+                    lig_buckets.append(self.pad.n_lig)
+        if lig_buckets[-1] != self.pad.n_lig:
+            raise ValueError(
+                f"largest lig bucket {lig_buckets[-1]} must equal padding.n_lig {self.pad.n_lig}")
+        self.lig_buckets = lig_buckets
 
         from kpdiff_tpu.models.complex import synthetic_batch
 
@@ -139,13 +161,21 @@ class KeypointSampler:
             sizes = np.full(n_mols, int(ligand_size))
         sizes = np.clip(sizes, 2, self.pad.n_lig)
 
+        import dataclasses
+
         mols: List = []
         done = 0
+        # process larger ligands first so each chunk's bucket is as tight as
+        # possible (one executable per bucket actually used)
+        sizes = np.sort(sizes)[::-1]
         while done < n_mols:
             bs = min(self.batch_size, n_mols - done)
+            chunk = sizes[done : done + bs]
+            bucket = next(b for b in self.lig_buckets if int(chunk.max()) <= b)
+            pad_b = dataclasses.replace(self.pad, n_lig=bucket)
             items = []
             for j in range(bs):
-                n = int(sizes[done + j])
+                n = int(chunk[j])
                 item = dict(
                     lig_pos=np.zeros((n, 3), np.float32),
                     lig_feat=np.zeros((n, len(self.lig_elements)), np.float32),
@@ -153,13 +183,13 @@ class KeypointSampler:
                     rec_res_idx=rec_res_idx.astype(np.int32),
                     interface_points=interface_points.astype(np.float32),
                 )
-                padded = pad_item(item, self.pad, n_lig_feat_out=self.n_lig_feat)
+                padded = pad_item(item, pad_b, n_lig_feat_out=self.n_lig_feat)
                 if padded is None:
                     raise ValueError(f"pocket ({n_rec} atoms) exceeds padding capacity {self.pad.n_rec}")
                 items.append(padded)
             while len(items) < self.batch_size:
                 items.append(items[-1])
-            cpx = _to_complex(items, self.pad, self.model, self.kp_vec_dim)
+            cpx = _to_complex(items, pad_b, self.model, self.kp_vec_dim)
 
             com = None
             if init_com is not None:

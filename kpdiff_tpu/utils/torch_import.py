@@ -10,10 +10,12 @@ concat(h_src, h_dst, dij) (dynamics.py:39-45,71-78); we factorize it into
 per-node projections, so its weight (H, 2F+1+E) is split column-wise into
 w_src / w_dst / w_dij. torch Linear weights are (out, in) -> transposed.
 
-Covered: LigRecDynamics (all edge types, node updates, layer norms,
-encoders/decoders) and FixedReceptorEncoder models (no encoder params).
-The learned-encoder and GVP mappings follow the same recipe and are
-tracked as a known follow-up.
+Covered, each golden-tested against an independent torch reimplementation
+(tests/test_torch_parity*.py): EGNN dynamics (all edge types, node
+updates, layer norms, encoders/decoders), the learned EGNN receptor
+encoder, GVP dynamics, and the learned GVP receptor encoder; fixed-encoder
+models have no encoder params. `convert_reference_checkpoint` assembles a
+complete model from a full state_dict (tests/test_whole_model_import.py).
 """
 from __future__ import annotations
 
@@ -295,27 +297,26 @@ def convert_reference_checkpoint(sd: Dict[str, np.ndarray], model) -> Dict:
                 n_noise_gvps=cfg.dynamics.get("n_noise_gvps", 3),
             )
         }
-    if cfg.rec_encoder_type == "learned" and cfg.architecture != "egnn":
-        enc_sd = {k[len("rec_encoder."):]: v for k, v in sd.items() if k.startswith("rec_encoder.")}
-        enc = cfg.rec_encoder
-        params["encoder"] = convert_gvp_encoder_state_dict(
-            enc_sd,
-            n_rr_convs=enc.get("n_rr_convs", 3),
-            n_rk_convs=enc.get("n_rk_convs", 2),
-            n_message_gvps=enc.get("n_message_gvps", 1),
-            n_update_gvps=enc.get("n_update_gvps", 1),
-        )
     if cfg.rec_encoder_type == "learned":
         enc_sd = {k[len("rec_encoder."):]: v for k, v in sd.items() if k.startswith("rec_encoder.")}
         enc = cfg.rec_encoder
-        params["encoder"] = convert_egnn_encoder_state_dict(
-            enc_sd,
-            n_convs=enc.get("n_convs", 6),
-            hidden=enc.get("hidden_n_node_feat", 256),
-            out_feat=enc.get("out_n_node_feat", 256),
-            in_feat=enc.get("in_n_node_feat", 10),
-            use_sameres_feat=enc.get("use_sameres_feat", False),
-            fix_pos=enc.get("fix_pos", False),
-            norm=enc.get("norm", False),
-        )
+        if cfg.architecture == "gvp":
+            params["encoder"] = convert_gvp_encoder_state_dict(
+                enc_sd,
+                n_rr_convs=enc.get("n_rr_convs", 3),
+                n_rk_convs=enc.get("n_rk_convs", 2),
+                n_message_gvps=enc.get("n_message_gvps", 1),
+                n_update_gvps=enc.get("n_update_gvps", 1),
+            )
+        else:
+            params["encoder"] = convert_egnn_encoder_state_dict(
+                enc_sd,
+                n_convs=enc.get("n_convs", 6),
+                hidden=enc.get("hidden_n_node_feat", 256),
+                out_feat=enc.get("out_n_node_feat", 256),
+                in_feat=enc.get("in_n_node_feat", 10),
+                use_sameres_feat=enc.get("use_sameres_feat", False),
+                fix_pos=enc.get("fix_pos", False),
+                norm=enc.get("norm", False),
+            )
     return params

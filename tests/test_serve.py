@@ -34,3 +34,19 @@ def test_keypoint_sampler(tmp_path):
     rec_feat[np.arange(24), rng.integers(0, 10, 24)] = 1
     mols2 = sampler.sample_for_arrays(rec_pos, rec_feat, n_mols=4, ligand_size=6)
     assert isinstance(mols2, list)
+
+    # ligand-size buckets engage in serving: a 6-atom request is padded to
+    # the smallest bucket (8), not the full capacity (16)
+    assert sampler.lig_buckets == [8, 16]
+    seen = []
+    inner = sampler._run
+
+    def spy(params, rng_, cpx, com):
+        seen.append(cpx.lig_x.shape[1])
+        return inner(params, rng_, cpx, com)
+
+    sampler._run = spy
+    sampler.sample_for_arrays(rec_pos, rec_feat, n_mols=2, ligand_size=6)
+    sampler.sample_for_arrays(rec_pos, rec_feat, n_mols=2, ligand_size=12)
+    assert seen == [8, 16]
+    sampler._run = inner
