@@ -330,15 +330,19 @@ class KeypointDiffusion:
         # code derives the mask from the NOISED feature (h_0[:, -1:].bool(),
         # ligand_diffuser.py:161) which is almost surely all-True — a bug. We
         # implement the stated intent: fake atoms excluded from the x-loss.
+        # jnp.where (exact selection), not mask multiplication: repeat-padded
+        # batch rows (PaddedLoader drop_last=False) have empty masks, and the
+        # dynamics can emit NaN for an all-masked item (0/0 normalizations);
+        # NaN * 0 would poison the global sums. Bitwise-identical to the
+        # multiply for finite residuals.
         if cfg.use_fake_atoms:
-            real = cpx.lig_mask & (cpx.lig_h[..., -1] <= 0)
-            real_f = real[..., None].astype(z_x.dtype)
-            x_loss = jnp.sum(jnp.square((eps_x - eps_x_pred) * real_f))
-            n_x = jnp.maximum(jnp.sum(real_f) * 3.0, 1.0)
+            real = (cpx.lig_mask & (cpx.lig_h[..., -1] <= 0))[..., None]
+            x_loss = jnp.sum(jnp.square(jnp.where(real, eps_x - eps_x_pred, 0.0)))
+            n_x = jnp.maximum(jnp.sum(real.astype(z_x.dtype)) * 3.0, 1.0)
         else:
-            x_loss = jnp.sum(jnp.square((eps_x - eps_x_pred) * lm))
+            x_loss = jnp.sum(jnp.square(jnp.where(cpx.lig_mask[..., None], eps_x - eps_x_pred, 0.0)))
             n_x = jnp.maximum(jnp.sum(lm) * 3.0, 1.0)
-        h_loss = jnp.sum(jnp.square((eps_h - eps_h_pred) * lm))
+        h_loss = jnp.sum(jnp.square(jnp.where(cpx.lig_mask[..., None], eps_h - eps_h_pred, 0.0)))
         n_h = jnp.maximum(jnp.sum(lm) * cpx.lig_h.shape[-1], 1.0)
 
         losses["l2"] = (x_loss + h_loss) / (n_x + n_h)

@@ -168,3 +168,32 @@ def test_data_parallel_matches_single_device_gvp():
     np.testing.assert_allclose(float(m1["rec_encoder"]), float(m2["rec_encoder"]), rtol=1e-4)
     for a, b in zip(jax.tree_util.tree_leaves(s1.params), jax.tree_util.tree_leaves(s2.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5)
+
+
+def test_loss_finite_with_empty_batch_rows():
+    """PaddedLoader repeat-pads the final partial batch with zero-mask rows
+    (dataset.py:271-276); the dynamics may emit NaN for an all-masked item,
+    which must not poison the batch-global loss sums (the round-2 demo run
+    logged test_l2 = NaN through exactly this path). Also asserts the
+    jnp.where residual selection is value-identical to the masked multiply
+    on an all-real batch."""
+    model = tiny_model()
+    cpx = synthetic_batch(3, batch=4, n_rec_pad=24, n_lig_pad=10, n_kp=24,
+                          kp_feat_dim=10, min_rec=12, min_lig=4)
+    params = model.init(jax.random.key(0), cpx)
+    ref = {k: float(v) for k, v in model.loss(params, jax.random.key(1), cpx).items()}
+
+    def zero_row(mask):
+        m = np.array(mask)
+        m[3] = False
+        return jnp.asarray(m)
+
+    cpx_empty = cpx.replace(
+        lig_mask=zero_row(cpx.lig_mask), rec_mask=zero_row(cpx.rec_mask),
+        ip_mask=zero_row(cpx.ip_mask),
+    )
+    losses = model.loss(params, jax.random.key(1), cpx_empty)
+    assert all(np.isfinite(float(v)) for v in losses.values()), losses
+    # the all-real batch is untouched by the guard
+    again = {k: float(v) for k, v in model.loss(params, jax.random.key(1), cpx).items()}
+    assert again == ref
