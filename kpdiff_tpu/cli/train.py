@@ -218,8 +218,8 @@ def main(argv=None):
 
     analyzer = ModelAnalyzer(
         model, test_ds, pad, lig_elements=ds_cfg["lig_elements"],
-        n_receptors=min(samp_cfg.get("n_receptors", 2), 4),
-        n_replicates=min(samp_cfg.get("n_replicates", 4), 8),
+        n_receptors=min(samp_cfg.get("n_receptors", 2), 8),
+        n_replicates=min(samp_cfg.get("n_replicates", 4), 12),
         train_type_counts=_type_counts(train_ds),
         seed=args.seed + 11,
     )
