@@ -76,6 +76,9 @@ def main(argv=None):
     args = parse_args(argv)
 
     import jax
+    from kpdiff_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
 
     from kpdiff_tpu.analysis.molecule_builder import build_molecule
     from kpdiff_tpu.config import PaddingConfig, load_config, model_from_config, resolve_feature_sizes

@@ -62,6 +62,9 @@ def main(argv=None):
     args = parse_args(argv)
 
     import jax
+    from kpdiff_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
 
     from kpdiff_tpu.config import PaddingConfig, load_config, model_from_config, resolve_feature_sizes
     from kpdiff_tpu.data.dataset import ComplexDataset, pad_item, synthetic_dataset

@@ -70,6 +70,10 @@ def main(argv=None):
 
     import jax
 
+    from kpdiff_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     from kpdiff_tpu.config import PaddingConfig, load_config, model_from_config, resolve_feature_sizes
     from kpdiff_tpu.data.dataset import ComplexDataset, PaddedLoader, synthetic_dataset
     from kpdiff_tpu.parallel.mesh import make_mesh, shard_batch_pytree

@@ -40,6 +40,10 @@ class KeypointSampler:
         back to a multiples-of-8 ladder."""
         import jax
 
+        from kpdiff_tpu.utils.cache import enable_persistent_cache
+
+        enable_persistent_cache()
+
         from kpdiff_tpu.config import PaddingConfig, load_config, model_from_config, resolve_feature_sizes
         from kpdiff_tpu.training.trainer import TrainConfig, init_train_state, load_checkpoint, make_optimizer
 
