@@ -152,7 +152,7 @@ def ref_estimate(model, cpx, batch, T=1000):
     }
 
 
-def bench_variant(config, trained_run=None, reps=3):
+def bench_variant(config, trained_run=None, reps=3, compare_kk=False):
     from kpdiff_tpu.config import PaddingConfig, load_config, model_from_config
     from kpdiff_tpu.models.complex import synthetic_batch
 
@@ -183,8 +183,8 @@ def bench_variant(config, trained_run=None, reps=3):
         state = load_checkpoint(os.path.join(trained_run, "checkpoints"), state)
         params = state.params
 
-    enc, kk = jax.jit(model100.encode)(params, cpx)
-    kk = model100.compact_kk(enc, kk)
+    enc, kk_raw = jax.jit(model100.encode)(params, cpx)
+    kk = model100.compact_kk(enc, kk_raw)
     kk_desc = "block" if isinstance(kk, dict) else ("nbr" if isinstance(kk, tuple) else "dense")
 
     s100 = jax.jit(lambda p, r, e, k: model100.sample(p, r, e, k))
@@ -220,6 +220,23 @@ def bench_variant(config, trained_run=None, reps=3):
     }
     if kk_desc == "nbr":
         row["kk_cap"] = int(kk[0].shape[-1])
+        # measured kk degree distribution (trained-regime evidence: spread
+        # keypoints -> low degree -> compact_kk engages; VERDICT r2 item 2)
+        nbr_mask = np.asarray(kk[1])
+        deg = nbr_mask.sum(-1)[np.asarray(enc.kp_mask)]
+        row["kk_degree"] = {"mean": round(float(deg.mean()), 1), "max": int(deg.max())}
+    if compare_kk and kk_desc == "nbr":
+        # dense-kk timing of the SAME model/weights, for the side-by-side
+        sd = jax.jit(lambda p, r, e, k: model100.sample(p, r, e, k))
+        out = sd(params, jax.random.key(1), enc, kk_raw)
+        np.asarray(out["lig_x"])
+        tsd = []
+        for i in range(reps):
+            t0 = time.time()
+            out = sd(params, jax.random.key(2 + i), enc, kk_raw)
+            np.asarray(out["lig_x"])
+            tsd.append(time.time() - t0)
+        row["dense_ms_per_step"] = round(min(tsd) / 100 * 1e3, 2)
     return row
 
 
@@ -228,11 +245,12 @@ def main():
     ap.add_argument("configs", nargs="*", default=None)
     ap.add_argument("--trained", default=None, help="run dir with checkpoints (params override)")
     ap.add_argument("--out", default="BENCH_VARIANTS.json")
+    ap.add_argument("--compare_kk", action="store_true", help="also time the dense-kk layout for side-by-side")
     args = ap.parse_args()
     configs = args.configs or list(SHAPES)
     rows = []
     for c in configs:
-        row = bench_variant(c, trained_run=args.trained)
+        row = bench_variant(c, trained_run=args.trained, compare_kk=args.compare_kk)
         print(json.dumps(row), flush=True)
         rows.append(row)
     with open(args.out, "w") as f:
