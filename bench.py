@@ -31,6 +31,9 @@ BASELINE_SEC_PER_LIGAND = 1.0  # assumed A100 torch reference; see note above
 BUCKET_WEIGHTS = {16: 0.4585, 32: 0.4903, 48: 0.0511}  # ligand-size marginal CDF
 
 
+TRAINED_PARAMS = "artifacts/egnn_40kp_trained_params.npz"  # molgen demo run (BASELINE.md round-3)
+
+
 def measure_bucket(model, pad, n_lig, batch=128):
     import jax
     import numpy as np
@@ -44,12 +47,26 @@ def measure_bucket(model, pad, n_lig, batch=128):
         n_ip_pad=pad.n_ip, min_rec=260, min_lig=min(18, n_lig - 2),
     )
     params = model.init(jax.random.key(0), cpx)
+    weights = "untrained"
+    try:
+        from kpdiff_tpu.utils.params_io import load_params_npz
+
+        params = load_params_npz(TRAINED_PARAMS, params)
+        weights = "trained"
+    except (FileNotFoundError, KeyError, ValueError):
+        pass  # untrained fallback: throughput is weight-independent except
+        #       for the kk degree (trained keypoints spread -> compact_kk)
 
     encode_fn = jax.jit(model.encode)
     sample_fn = jax.jit(lambda p, r, enc, kk: model.sample(p, r, enc, kk))
 
     enc, kk = encode_fn(params, cpx)
     kk = model.compact_kk(enc, kk)
+    if isinstance(kk, tuple):
+        kk_desc = f"nbr_cap{int(kk[0].shape[-1])}"
+    else:
+        kk_desc = "dense"
+    globals().setdefault("_BENCH_DETAIL", {})[n_lig] = (weights, kk_desc)
 
     # warmup/compile; fetch to host to force completion — on the remote-TPU
     # backend block_until_ready does not actually block
@@ -109,6 +126,7 @@ def main():
     print(
         f"# bucket mixture {BUCKET_WEIGHTS}; per-bucket s/lig "
         f"{ {n: round(v, 4) for n, v in per_bucket.items()} }; {detail}; "
+        f"weights/kk={globals().get('_BENCH_DETAIL', {})}; "
         f"T={model.cfg.n_timesteps} device={jax.devices()[0].device_kind}",
         file=sys.stderr,
     )

@@ -197,3 +197,27 @@ def test_loss_finite_with_empty_batch_rows():
     # the all-real batch is untouched by the guard
     again = {k: float(v) for k, v in model.loss(params, jax.random.key(1), cpx).items()}
     assert again == ref
+
+
+def test_params_npz_roundtrip(tmp_path):
+    """Flat-npz param archives (utils/params_io.py) roundtrip exactly and
+    reject mismatched templates — the loading path bench.py uses for the
+    trained-regime benchmark."""
+    from kpdiff_tpu.utils.params_io import load_params_npz, save_params_npz
+
+    model = tiny_model()
+    cpx = synthetic_batch(1, batch=2, n_rec_pad=16, n_lig_pad=8, n_kp=16, kp_feat_dim=10)
+    params = model.init(jax.random.key(0), cpx)
+    path = tmp_path / "p.npz"
+    save_params_npz(params, path)
+    back = load_params_npz(path, params)
+    for (ka, a), (kb, b) in zip(
+        jax.tree_util.tree_leaves_with_path(params),
+        jax.tree_util.tree_leaves_with_path(back),
+    ):
+        assert jax.tree_util.keystr(ka) == jax.tree_util.keystr(kb)
+        assert np.array_equal(np.asarray(a), np.asarray(b)), ka
+
+    bad = jax.tree_util.tree_map(lambda x: np.zeros(x.shape + (2,), x.dtype), params)
+    with pytest.raises(ValueError):
+        load_params_npz(path, bad)
