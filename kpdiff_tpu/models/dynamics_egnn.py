@@ -39,6 +39,7 @@ class EGNNConvLayer(nn.Module):
     dtype: str = "float32"  # compute dtype for the pair MLPs
     use_pallas: bool = False  # fused VMEM edge kernel (forward-only)
     split_last: bool = False  # MXU-aligned t-channel (models/egnn.py _smatmul)
+    gather_mode: str = "take"  # nbr/pair-list gathers: 'take' | 'onehot' (exact)
 
     @nn.compact
     def __call__(self, h, x, edges, z, masks):
@@ -72,7 +73,8 @@ class EGNNConvLayer(nn.Module):
             dh, dx = EGNNEdgeKNNPairs(
                 hidden_size=self.hidden_size, anchor_is_src=True,
                 use_tanh=self.use_tanh, dtype=self.dtype,
-                split_last=self.split_last, name="edge_kl",
+                split_last=self.split_last, gather_mode=self.gather_mode,
+                name="edge_kl",
             )(h["kp"], h["lig"], x["kp"], x["lig"], idx, valid)
             agg_h["lig"] = agg_h["lig"] + dh
             agg_x["lig"] = agg_x["lig"] + dx
@@ -85,7 +87,8 @@ class EGNNConvLayer(nn.Module):
                 dh, dx = EGNNEdgeKNNPairs(
                     hidden_size=self.hidden_size, anchor_is_src=False,
                     use_tanh=self.use_tanh, dtype=self.dtype,
-                    split_last=self.split_last, name="edge_lk",
+                    split_last=self.split_last, gather_mode=self.gather_mode,
+                    name="edge_lk",
                 )(h["kp"], h["lig"], x["kp"], x["lig"], idx, valid)
                 agg_h["kp"] = agg_h["kp"] + dh
                 agg_x["kp"] = agg_x["kp"] + dx
@@ -128,6 +131,7 @@ class EGNNConvLayer(nn.Module):
                     coord_hidden_layers=2,
                     dtype=self.dtype,
                     split_last=self.split_last,
+                    gather_mode=self.gather_mode,
                     name="edge_kk",
                 )
                 dh, dx = mod(h["kp"], h["kp"], x["kp"], x["kp"], idx, valid)
@@ -171,6 +175,10 @@ class EGNNDynamics(nn.Module):
     # None/False = off (measured slower on v5e — the sampler is HBM/VPU
     # bound, BASELINE.md round-2); True = explicit opt-in.
     mxu_split_t: bool = None
+    # 'onehot' computes neighbor-list/pair-list gathers as one-hot matmuls
+    # (exact; TPU dynamic gathers are slow relative to the MXU) — measured
+    # opt-in, see BASELINE.md round-3.
+    nbr_gather: str = "take"
 
     @nn.compact
     def __call__(
@@ -270,6 +278,7 @@ class EGNNDynamics(nn.Module):
                 update_kp_feat=self.update_kp_feat,
                 norm=self.norm,
                 kk_layout=self.kk_layout,
+                gather_mode=self.nbr_gather,
                 dtype=self.compute_dtype,
                 use_pallas=self.use_pallas,
                 split_last=split_t,

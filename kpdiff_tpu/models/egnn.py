@@ -62,6 +62,36 @@ def _smatvec(xm, xe, w, b=None):
     return y if b is None else y + b
 
 
+def _gather_nodes(h_src, x_src, idx, mode: str):
+    """Gather (features, positions) rows of the source set at `idx`.
+
+    mode='take': jnp.take_along_axis (dynamic-gather HLO).
+    mode='onehot': one-hot MATMULS — TPU dynamic gathers are slow relative
+      to the MXU, so h[idx] is computed as onehot(idx) @ h instead. The
+      one-hot rows have exactly one 1.0, so each output element is a
+      single exact product in f32 — bitwise identical to 'take'
+      (tests/test_gather_mode.py). Extra MACs are Nd*K*Ns*(F+128pad),
+      negligible next to the per-pair MLPs they unblock.
+
+    idx: (B, ..., K) into axis 1 of h_src (B, Ns, F) / x_src (B, Ns, 3).
+    Returns h_g (B, ..., K, F), x_g (B, ..., K, 3).
+    """
+    if mode == "take":
+        h_g = jnp.take_along_axis(h_src[:, :, None, :], idx[..., None], axis=1)
+        x_g = jnp.take_along_axis(x_src[:, :, None, :], idx[..., None], axis=1)
+        return h_g, x_g
+    b = idx.shape[0]
+    n_src = h_src.shape[1]
+    flat = idx.reshape(b, -1)
+    oh = jax.nn.one_hot(flat, n_src, dtype=jnp.float32)
+    h_g = jnp.einsum("ben,bnf->bef", oh, h_src.astype(jnp.float32),
+                     preferred_element_type=jnp.float32)
+    x_g = jnp.einsum("ben,bnc->bec", oh, x_src.astype(jnp.float32),
+                     preferred_element_type=jnp.float32)
+    return (h_g.reshape(*idx.shape, h_src.shape[-1]).astype(h_src.dtype),
+            x_g.reshape(*idx.shape, 3).astype(x_src.dtype))
+
+
 class EGNNEdgeDense(nn.Module):
     """EGNN messages for one edge type over a dense (B, Ns, Nd) pair grid.
 
@@ -271,6 +301,7 @@ class EGNNEdgeKNNPairs(nn.Module):
     coords_range: float = 10.0
     dtype: str = "float32"
     split_last: bool = False  # MXU-align hidden_nf+1 widths via _smatmul (exact)
+    gather_mode: str = "take"  # 'onehot': gathers as one-hot matmuls (exact)
 
     _linear_params = EGNNEdgeDense._linear_params
     _first_layer_params = EGNNEdgeDense._first_layer_params
@@ -299,8 +330,7 @@ class EGNNEdgeKNNPairs(nn.Module):
         c2_w, c2_b = self._linear_params("coord_lin2", h, h)
         w_out = self.param("coord_out_w", xavier_uniform_scaled(0.001), (h, 1))
 
-        h_g = jnp.take_along_axis(h_other[:, :, None, :], idx[..., None], axis=1)  # (B,K,k,F)
-        x_g = jnp.take_along_axis(x_other[:, :, None, :], idx[..., None], axis=1)  # (B,K,k,3)
+        h_g, x_g = _gather_nodes(h_other, x_other, idx, self.gather_mode)  # (B,K,k,F/3)
 
         if self.anchor_is_src:
             diff = x_anchor[:, :, None, :] - x_g  # x_src - x_dst
@@ -418,6 +448,7 @@ class EGNNEdgeNbrList(nn.Module):
     edge_feat_size: int = 0
     dtype: str = "float32"
     split_last: bool = False  # MXU-align hidden_nf+1 widths via _smatmul (exact)
+    gather_mode: str = "take"  # 'onehot': gathers as one-hot matmuls (exact)
 
     _linear_params = EGNNEdgeDense._linear_params
     _first_layer_params = EGNNEdgeDense._first_layer_params
@@ -445,8 +476,7 @@ class EGNNEdgeNbrList(nn.Module):
             c2 = [self._linear_params(f"coord_lin{i + 2}", h, h) for i in range(self.coord_hidden_layers - 1)]
             w_out = self.param("coord_out_w", xavier_uniform_scaled(0.001), (h, 1))
 
-        h_nbr = jnp.take_along_axis(h_src[:, :, None, :], nbr_idx[..., None], axis=1)  # (B,Nd,K,F)
-        x_nbr = jnp.take_along_axis(x_src[:, :, None, :], nbr_idx[..., None], axis=1)  # (B,Nd,K,3)
+        h_nbr, x_nbr = _gather_nodes(h_src, x_src, nbr_idx, self.gather_mode)  # (B,Nd,K,F/3)
         diff = x_nbr - x_dst[:, :, None, :]
         diff = jnp.where(nbr_valid[..., None], diff, 0.0)
         dij = jnp.linalg.norm(diff + 1e-30, axis=-1, keepdims=True)

@@ -1,0 +1,54 @@
+"""gather_mode='onehot' (one-hot-matmul gathers) must reproduce
+gather_mode='take' exactly: the one-hot rows select a single element, so
+each output is one exact f32 product (models/egnn.py::_gather_nodes)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from kpdiff_tpu.models.complex import synthetic_batch
+from kpdiff_tpu.models.diffusion import DiffusionConfig, KeypointDiffusion
+from kpdiff_tpu.models.egnn import _gather_nodes
+
+
+def test_gather_nodes_exact():
+    rng = np.random.default_rng(0)
+    h = jnp.asarray(rng.normal(size=(3, 17, 9)).astype(np.float32))
+    x = jnp.asarray(rng.normal(size=(3, 17, 3)).astype(np.float32))
+    idx = jnp.asarray(rng.integers(0, 17, size=(3, 5, 4)).astype(np.int32))
+    ht, xt = _gather_nodes(h, x, idx, "take")
+    ho, xo = _gather_nodes(h, x, idx, "onehot")
+    assert np.array_equal(np.asarray(ht), np.asarray(ho))
+    assert np.array_equal(np.asarray(xt), np.asarray(xo))
+
+
+@pytest.mark.parametrize("compute_dtype", ["float32", "bfloat16"])
+def test_dynamics_onehot_gather_matches_take(compute_dtype):
+    """Full EGNN dynamics (kNN kl/lk pair lists + capped-nbr kk) with
+    one-hot gathers == take gathers, through compact_kk sampling edges."""
+    def build(nbr_gather):
+        cfg = DiffusionConfig(
+            atom_nf=10, rec_nf=10, n_timesteps=8, rec_encoder_type="fixed",
+            graph_cutoffs={"rr": 3.5, "rk": 100, "kk": 8, "kl": 6, "ll": 6},
+            dynamics=dict(n_layers=2, hidden_nf=32, use_tanh=True, message_norm=1,
+                          norm=True, kl_k=3, update_kp_feat=True,
+                          compute_dtype=compute_dtype, nbr_gather=nbr_gather),
+        )
+        return KeypointDiffusion(cfg)
+
+    m_take, m_oh = build("take"), build("onehot")
+    cpx = synthetic_batch(7, batch=3, n_rec_pad=48, n_lig_pad=10, n_kp=48,
+                          kp_feat_dim=10, min_rec=30, min_lig=6, min_sep=1.8)
+    params = m_take.init(jax.random.key(0), cpx)
+
+    enc, kk = jax.jit(m_take.encode)(params, cpx)
+    kk_c = m_take.compact_kk(enc, kk)
+    assert isinstance(kk_c, tuple), "fixed-encoder kk should compact to a nbr list"
+
+    out_t = jax.jit(lambda p, r, e, k: m_take.sample(p, r, e, k))(params, jax.random.key(1), enc, kk_c)
+    out_o = jax.jit(lambda p, r, e, k: m_oh.sample(p, r, e, k))(params, jax.random.key(1), enc, kk_c)
+    np.testing.assert_allclose(np.asarray(out_t["lig_x"]), np.asarray(out_o["lig_x"]),
+                               rtol=0, atol=0)
+    np.testing.assert_allclose(np.asarray(out_t["lig_h"]), np.asarray(out_o["lig_h"]),
+                               rtol=0, atol=0)
