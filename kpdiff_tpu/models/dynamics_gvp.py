@@ -49,6 +49,7 @@ class GVPMultiEdgeConvDense(nn.Module):
     rbf_dim: int = 16
     dtype: str = "float32"
     vec_layout: str = "vc"  # 'flat': node vectors are (..., 3V) v-major
+    gather_mode: str = "take"  # nbr/pair-list gathers: 'take' | 'onehot' (exact)
 
     @nn.compact
     def __call__(self, node_data, adj, masks, deterministic: bool = True):
@@ -81,7 +82,7 @@ class GVPMultiEdgeConvDense(nn.Module):
                 h_a, x_a, v_a = node_data["kp"]
                 h_o, x_o, v_o = node_data["lig"]
                 ds, dv = GVPEdgeMessagesKNNPairs(
-                    anchor_is_src=(src == "kp"), **common,
+                    anchor_is_src=(src == "kp"), gather_mode=self.gather_mode, **common,
                 )(h_a, v_a, x_a, h_o, v_o, x_o, idx, valid)
             elif isinstance(adj[ename], dict):
                 # banded block-dense windows over spatially sorted keypoints
@@ -109,7 +110,8 @@ class GVPMultiEdgeConvDense(nn.Module):
             elif isinstance(adj[ename], tuple):
                 # destination-major neighbor list (all-atom kk at pocket scale)
                 idx, valid = adj[ename]
-                ds, dv = GVPEdgeMessagesNbr(**common)(h_s, v_s, x_s, h_d, v_d, x_d, idx, valid)
+                ds, dv = GVPEdgeMessagesNbr(gather_mode=self.gather_mode, **common)(
+                    h_s, v_s, x_s, h_d, v_d, x_d, idx, valid)
             else:
                 ds, dv = GVPEdgeMessagesDense(**common)(h_s, v_s, x_s, h_d, v_d, x_d, adj[ename])
             agg_s[dst] = agg_s[dst] + ds
@@ -224,6 +226,7 @@ class GVPDynamics(nn.Module):
     compute_dtype: str = "float32"
     kk_layout: str = "dense"  # 'dense' | 'nbr' | 'block' (all-atom pocket-scale keypoints)
     kk_block_size: int = 64   # tile size for the 'block' layout
+    nbr_gather: str = "take"  # 'onehot': nbr/pair gathers as one-hot matmuls (exact)
     # internal vector layout: 'flat' stores vectors (..., 3V) v-major so
     # elementwise/pair work is lane-efficient on TPU (a (..., V, 3) tensor
     # tiles at ~2% utilization); numerics identical (tests/test_gvp_flat.py)
@@ -301,6 +304,7 @@ class GVPDynamics(nn.Module):
                 dropout=self.dropout,
                 dtype=self.compute_dtype,
                 vec_layout=self.vec_layout,
+                gather_mode=self.nbr_gather,
                 name=f"conv{i}",
             )(node_data, adj, masks, deterministic=deterministic)
 

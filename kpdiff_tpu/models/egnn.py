@@ -80,16 +80,10 @@ def _gather_nodes(h_src, x_src, idx, mode: str):
         h_g = jnp.take_along_axis(h_src[:, :, None, :], idx[..., None], axis=1)
         x_g = jnp.take_along_axis(x_src[:, :, None, :], idx[..., None], axis=1)
         return h_g, x_g
-    b = idx.shape[0]
-    n_src = h_src.shape[1]
-    flat = idx.reshape(b, -1)
-    oh = jax.nn.one_hot(flat, n_src, dtype=jnp.float32)
-    h_g = jnp.einsum("ben,bnf->bef", oh, h_src.astype(jnp.float32),
-                     preferred_element_type=jnp.float32)
-    x_g = jnp.einsum("ben,bnc->bec", oh, x_src.astype(jnp.float32),
-                     preferred_element_type=jnp.float32)
-    return (h_g.reshape(*idx.shape, h_src.shape[-1]).astype(h_src.dtype),
-            x_g.reshape(*idx.shape, 3).astype(x_src.dtype))
+    from kpdiff_tpu.ops.neighbors import onehot_gather
+
+    h_g, x_g = onehot_gather([h_src, x_src], idx)
+    return h_g, x_g
 
 
 class EGNNEdgeDense(nn.Module):

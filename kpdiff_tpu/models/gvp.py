@@ -298,17 +298,23 @@ class GVPEdgeMessagesNbr(nn.Module):
     agg: str = "sum"
     dtype: str = "float32"
     vec_layout: str = "vc"  # 'flat': v_src/v_dst are (..., 3V); agg_v (..., 3V)
+    gather_mode: str = "take"  # 'onehot': gathers as one-hot matmuls (exact)
 
     @nn.compact
     def __call__(self, h_src, v_src, x_src, h_dst, v_dst, x_dst, nbr_idx, nbr_valid, edge_feat=None):
         flat = self.vec_layout == "flat"
         b, nd, kn = nbr_idx.shape
-        h_nbr = jnp.take_along_axis(h_src[:, :, None, :], nbr_idx[..., None], axis=1)  # (B,Nd,K,S)
-        x_nbr = jnp.take_along_axis(x_src[:, :, None, :], nbr_idx[..., None], axis=1)  # (B,Nd,K,3)
-        if flat:
-            v_nbr = jnp.take_along_axis(v_src[:, :, None, :], nbr_idx[..., None], axis=1)  # (B,Nd,K,3V)
+        if self.gather_mode == "onehot":
+            from kpdiff_tpu.ops.neighbors import onehot_gather
+
+            h_nbr, x_nbr, v_nbr = onehot_gather([h_src, x_src, v_src], nbr_idx)
         else:
-            v_nbr = jnp.take_along_axis(v_src[:, :, None, :, :], nbr_idx[..., None, None], axis=1)  # (B,Nd,K,V,3)
+            h_nbr = jnp.take_along_axis(h_src[:, :, None, :], nbr_idx[..., None], axis=1)  # (B,Nd,K,S)
+            x_nbr = jnp.take_along_axis(x_src[:, :, None, :], nbr_idx[..., None], axis=1)  # (B,Nd,K,3)
+            if flat:
+                v_nbr = jnp.take_along_axis(v_src[:, :, None, :], nbr_idx[..., None], axis=1)  # (B,Nd,K,3V)
+            else:
+                v_nbr = jnp.take_along_axis(v_src[:, :, None, :, :], nbr_idx[..., None, None], axis=1)  # (B,Nd,K,V,3)
 
         diff = x_nbr - x_dst[:, :, None, :]
         diff = jnp.where(nbr_valid[..., None], diff, 0.0)
@@ -379,6 +385,7 @@ class GVPEdgeMessagesKNNPairs(nn.Module):
     agg: str = "sum"
     dtype: str = "float32"
     vec_layout: str = "vc"
+    gather_mode: str = "take"  # 'onehot': gathers as one-hot matmuls (exact)
 
     @nn.compact
     def __call__(self, h_anchor, v_anchor, x_anchor, h_other, v_other, x_other, idx, valid):
@@ -386,12 +393,17 @@ class GVPEdgeMessagesKNNPairs(nn.Module):
         b, K, k = idx.shape
         n_other = h_other.shape[1]
 
-        h_g = jnp.take_along_axis(h_other[:, :, None, :], idx[..., None], axis=1)  # (B,K,k,S)
-        x_g = jnp.take_along_axis(x_other[:, :, None, :], idx[..., None], axis=1)  # (B,K,k,3)
-        if flat:
-            v_g = jnp.take_along_axis(v_other[:, :, None, :], idx[..., None], axis=1)
+        if self.gather_mode == "onehot":
+            from kpdiff_tpu.ops.neighbors import onehot_gather
+
+            h_g, x_g, v_g = onehot_gather([h_other, x_other, v_other], idx)
         else:
-            v_g = jnp.take_along_axis(v_other[:, :, None, :, :], idx[..., None, None], axis=1)
+            h_g = jnp.take_along_axis(h_other[:, :, None, :], idx[..., None], axis=1)  # (B,K,k,S)
+            x_g = jnp.take_along_axis(x_other[:, :, None, :], idx[..., None], axis=1)  # (B,K,k,3)
+            if flat:
+                v_g = jnp.take_along_axis(v_other[:, :, None, :], idx[..., None], axis=1)
+            else:
+                v_g = jnp.take_along_axis(v_other[:, :, None, :, :], idx[..., None, None], axis=1)
 
         if self.anchor_is_src:
             diff = x_anchor[:, :, None, :] - x_g  # x_src - x_dst (gvp.py:281-288)

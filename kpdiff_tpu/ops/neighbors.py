@@ -151,3 +151,30 @@ def radius_neighbor_list(
     neg_d2, idx = jax.lax.top_k(scores, k_eff)
     within = (-neg_d2) < float(radius) ** 2
     return idx.astype(jnp.int32), within
+
+
+def onehot_gather(arrays, idx):
+    """Gather rows `idx` from each (B, N, ...) array via one-hot MATMULS.
+
+    Exact replacement for take_along_axis on the node axis: the one-hot
+    rows select a single element, so each output is one exact f32
+    product (bitwise equal to 'take'; tests/test_gather_mode.py). TPU
+    dynamic gathers are slow relative to the MXU, so on neighbor-list
+    layouts this turns the gather into cheap matmul work.
+
+    idx: (B, ...) int32 into axis 1. Returns gathered arrays with shape
+    (B, *idx.shape[1:], *arr.shape[2:]).
+    """
+    b = idx.shape[0]
+    n = arrays[0].shape[1]
+    oh = jax.nn.one_hot(idx.reshape(b, -1), n, dtype=jnp.float32)
+    outs = []
+    for a in arrays:
+        tail = a.shape[2:]
+        flat = 1
+        for t in tail:
+            flat *= t
+        g = jnp.einsum("ben,bnf->bef", oh, a.reshape(b, n, flat).astype(jnp.float32),
+                       preferred_element_type=jnp.float32)
+        outs.append(g.reshape(*idx.shape, *tail).astype(a.dtype))
+    return outs

@@ -52,3 +52,35 @@ def test_dynamics_onehot_gather_matches_take(compute_dtype):
                                rtol=0, atol=0)
     np.testing.assert_allclose(np.asarray(out_t["lig_h"]), np.asarray(out_o["lig_h"]),
                                rtol=0, atol=0)
+
+
+@pytest.mark.parametrize("compute_dtype", ["float32", "bfloat16"])
+def test_gvp_dynamics_onehot_gather_matches_take(compute_dtype):
+    """GVP dynamics (flat vectors, kNN kl pairs + capped-nbr kk) with
+    one-hot gathers == take gathers."""
+    def build(nbr_gather):
+        cfg = DiffusionConfig(
+            atom_nf=10, rec_nf=12, n_timesteps=8, architecture="gvp",
+            rec_encoder_type="fixed",
+            graph_cutoffs={"rr": 3.5, "rk": 100, "kk": 8, "kl": 6, "ll": 6},
+            dynamics=dict(vector_size=4, n_convs=2, n_hidden_scalars=24,
+                          update_kp=True, message_norm=1.0, kl_k=3,
+                          n_message_gvps=2, n_update_gvps=1, n_noise_gvps=2,
+                          compute_dtype=compute_dtype, nbr_gather=nbr_gather),
+        )
+        return KeypointDiffusion(cfg)
+
+    m_take, m_oh = build("take"), build("onehot")
+    cpx = synthetic_batch(9, batch=2, n_rec_pad=48, n_lig_pad=10, n_kp=48,
+                          kp_feat_dim=12, kp_vec_dim=4, min_rec=30, min_lig=6,
+                          min_sep=1.8)
+    params = m_take.init(jax.random.key(0), cpx)
+
+    enc, kk = jax.jit(m_take.encode)(params, cpx)
+    kk_c = m_take.compact_kk(enc, kk)
+    assert isinstance(kk_c, tuple)
+
+    out_t = jax.jit(lambda p, r, e, k: m_take.sample(p, r, e, k))(params, jax.random.key(1), enc, kk_c)
+    out_o = jax.jit(lambda p, r, e, k: m_oh.sample(p, r, e, k))(params, jax.random.key(1), enc, kk_c)
+    np.testing.assert_allclose(np.asarray(out_t["lig_x"]), np.asarray(out_o["lig_x"]), rtol=0, atol=0)
+    np.testing.assert_allclose(np.asarray(out_t["lig_h"]), np.asarray(out_o["lig_h"]), rtol=0, atol=0)
