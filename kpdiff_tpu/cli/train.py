@@ -266,12 +266,17 @@ def main(argv=None):
             state, metrics = step_fn(state, k, batch)
 
             # failure detection (SURVEY §5.3 gap): a non-finite loss halts
-            # training with a checkpoint instead of silently corrupting the run
+            # training instead of silently corrupting the run. Do NOT save
+            # the current state: its params already absorbed the non-finite
+            # gradient (a run-3 halt checkpoint measured 491 NaN leaves);
+            # resume from the newest periodic checkpoint instead.
             if not np.isfinite(float(metrics["l2"])):
-                save_checkpoint(ckpt_dir, state, step=int(state.step))
+                steps = sorted(int(p.name.split("_")[1]) for p in ckpt_dir.glob("step_*"))
+                last_good = f"step_{steps[-1]}" if steps else "none"
                 raise RuntimeError(
                     f"non-finite loss at step {int(state.step)} "
-                    f"(l2={float(metrics['l2'])}); checkpoint saved to {ckpt_dir}"
+                    f"(l2={float(metrics['l2'])}); state NOT saved (post-step params "
+                    f"are already poisoned) — resume from {ckpt_dir}/{last_good}"
                 )
 
             if epoch_exact - last_metrics_marker >= metrics_interval:
