@@ -152,12 +152,22 @@ def ref_estimate(model, cpx, batch, T=1000):
     }
 
 
-def bench_variant(config, trained_run=None, reps=3, compare_kk=False):
+def bench_variant(config, trained_run=None, reps=3, compare_kk=False, dyn_overrides=None):
     from kpdiff_tpu.config import PaddingConfig, load_config, model_from_config
     from kpdiff_tpu.models.complex import synthetic_batch
 
     batch, n_lig = SHAPES[config]
     cfg = load_config(f"configs/{config}.yml")
+    dyn_key = "dynamics_gvp" if cfg["diffusion"]["architecture"] == "gvp" else "dynamics"
+    for ov in dyn_overrides or []:
+        k, _, v = ov.partition("=")
+        try:
+            import ast
+
+            v = ast.literal_eval(v)
+        except (ValueError, SyntaxError):
+            pass
+        cfg[dyn_key][k] = v
     model_T = cfg["diffusion"]["n_timesteps"]
 
     def build(T):
@@ -209,6 +219,7 @@ def bench_variant(config, trained_run=None, reps=3, compare_kk=False):
 
     row = {
         "config": config, "batch": batch, "n_lig": n_lig, "kk": kk_desc,
+        **({"dyn_overrides": dyn_overrides} if dyn_overrides else {}),
         "T": model_T, "ms_per_step": round(step_ms, 2),
         "s_per_lig": round(step_ms * model_T / batch / 1e3, 4),
         "flops_per_step": flops_step, "bytes_per_step": bytes_step,
@@ -246,11 +257,13 @@ def main():
     ap.add_argument("--trained", default=None, help="run dir with checkpoints (params override)")
     ap.add_argument("--out", default="BENCH_VARIANTS.json")
     ap.add_argument("--compare_kk", action="store_true", help="also time the dense-kk layout for side-by-side")
+    ap.add_argument("--dyn", action="append", default=[], metavar="KEY=VALUE",
+                    help="dynamics(-gvp) config overrides, e.g. --dyn nbr_gather=onehot")
     args = ap.parse_args()
     configs = args.configs or list(SHAPES)
     rows = []
     for c in configs:
-        row = bench_variant(c, trained_run=args.trained, compare_kk=args.compare_kk)
+        row = bench_variant(c, trained_run=args.trained, compare_kk=args.compare_kk, dyn_overrides=args.dyn)
         print(json.dumps(row), flush=True)
         rows.append(row)
     with open(args.out, "w") as f:
