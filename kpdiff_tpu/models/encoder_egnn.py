@@ -53,6 +53,7 @@ class ReceptorConvLayer(nn.Module):
     edge_feat_size: int = 0
     dtype: str = "float32"
     layout: str = "nbr"
+    gather_mode: str = "take"  # 'onehot': nbr gathers as one-hot matmuls (exact)
 
     @nn.compact
     def __call__(self, h, x, mask, rr_edges, z, edge_feat=None):
@@ -84,7 +85,8 @@ class ReceptorConvLayer(nn.Module):
             agg_x = agg_x.reshape(b, N, 3)
         else:
             nbr_idx, nbr_valid = rr_edges
-            agg_h, agg_x = EGNNEdgeNbrList(**common)(h, h, x, x, nbr_idx, nbr_valid, edge_feat)
+            agg_h, agg_x = EGNNEdgeNbrList(gather_mode=self.gather_mode, **common)(
+                h, h, x, x, nbr_idx, nbr_valid, edge_feat)
 
         h_neigh = agg_h / z
         x_neigh = agg_x / z
@@ -130,6 +132,7 @@ class EGNNReceptorEncoder(nn.Module):
     # option for very large sets.
     rr_layout: str = "nbr"
     rr_block_size: int = 64
+    nbr_gather: str = "take"  # 'onehot': rr gathers as one-hot matmuls (exact)
     compute_dtype: str = "float32"  # 'bfloat16' for mixed-precision edge MLPs
 
     @nn.compact
@@ -215,6 +218,7 @@ class EGNNReceptorEncoder(nn.Module):
                 edge_feat_size=1 if self.use_sameres_feat else 0,
                 dtype=self.compute_dtype,
                 layout=self.rr_layout,
+                gather_mode=self.nbr_gather,
                 name=f"rec_conv{i}",
             )(h, x, mask, rr_edges, jnp.asarray(z, jnp.float32), edge_feat)
 

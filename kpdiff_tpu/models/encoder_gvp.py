@@ -65,6 +65,7 @@ class GVPEdgeConvNbr(nn.Module):
     dtype: str = "float32"
     layout: str = "nbr"  # 'nbr' (idx, valid) | 'block' (banded adj,) — same params
     vec_layout: str = "vc"  # 'flat': vectors are (..., 3V) v-major
+    gather_mode: str = "take"  # 'onehot': nbr gathers as one-hot matmuls (exact)
 
     @nn.compact
     def __call__(self, src_feats, dst_feats, edges, z, mask_dst, edge_feat=None, deterministic=True):
@@ -111,7 +112,7 @@ class GVPEdgeConvNbr(nn.Module):
             v_msg = v_msg.reshape(b, N, V3) if flat else v_msg.reshape(b, N, V_, 3)
         else:
             nbr_idx, nbr_valid = edges
-            s_msg, v_msg = GVPEdgeMessagesNbr(**common)(
+            s_msg, v_msg = GVPEdgeMessagesNbr(gather_mode=self.gather_mode, **common)(
                 h_s, v_s, x_s, h_d, v_d, x_d, nbr_idx, nbr_valid, edge_feat
             )
 
@@ -164,6 +165,7 @@ class GVPReceptorEncoder(nn.Module):
     rr_max_neighbors: int = 32  # see encoder_egnn.py note
     rr_layout: str = "nbr"  # exact capped nbr list (see encoder_egnn.py note) | 'block'
     rr_block_size: int = 64
+    nbr_gather: str = "take"  # 'onehot': rr/rk gathers as one-hot matmuls (exact)
     compute_dtype: str = "float32"
     # internal vector layout (models/gvp.py flat docs); kp_v is unflattened
     # back to (B, K, V, 3) at the encoder boundary
@@ -256,6 +258,7 @@ class GVPReceptorEncoder(nn.Module):
                 dtype=self.compute_dtype,
                 layout=self.rr_layout,
                 vec_layout=self.vec_layout,
+                gather_mode=self.nbr_gather,
                 name=f"rr_conv{i}",
             )((h, x0, v), (h, x0, v), rr_edges, jnp.asarray(z, jnp.float32), mask, edge_feat,
               deterministic)
@@ -304,6 +307,7 @@ class GVPReceptorEncoder(nn.Module):
                 message_norm=self.message_norm,
                 dropout=self.dropout,
                 vec_layout=self.vec_layout,
+                gather_mode=self.nbr_gather,
                 name=f"rk_conv{i}",
             )((h, x0, v), (kp_h, kp_pos, kp_v), (rk_idx, rk_valid), z_rk, kp_mask, None, deterministic)
 

@@ -84,3 +84,42 @@ def test_gvp_dynamics_onehot_gather_matches_take(compute_dtype):
     out_o = jax.jit(lambda p, r, e, k: m_oh.sample(p, r, e, k))(params, jax.random.key(1), enc, kk_c)
     np.testing.assert_allclose(np.asarray(out_t["lig_x"]), np.asarray(out_o["lig_x"]), rtol=0, atol=0)
     np.testing.assert_allclose(np.asarray(out_t["lig_h"]), np.asarray(out_o["lig_h"]), rtol=0, atol=0)
+
+
+def test_learned_encoders_onehot_gather_matches_take():
+    """rr/rk nbr gathers in both learned receptor encoders, one-hot vs
+    take, through model.encode."""
+    for arch, enc_extra, dyn in [
+        ("egnn", dict(in_n_node_feat=10, hidden_n_node_feat=32, out_n_node_feat=32,
+                      n_convs=2, use_tanh=True, message_norm=1, k_closest=3,
+                      n_keypoints=8),
+         dict(n_layers=1, hidden_nf=32, use_tanh=True, message_norm=1, kl_k=3)),
+        ("gvp", dict(in_scalar_size=10, out_scalar_size=24, vector_size=4,
+                     n_rr_convs=2, n_rk_convs=1, message_norm=1.0, k_closest=3,
+                     n_keypoints=8, n_message_gvps=1, n_update_gvps=1, dropout=0.0),
+         dict(vector_size=4, n_convs=1, n_hidden_scalars=24, message_norm=1.0,
+              kl_k=3, n_message_gvps=1, n_update_gvps=1, n_noise_gvps=1)),
+    ]:
+        def build(gather):
+            enc = dict(enc_extra)
+            enc["nbr_gather"] = gather
+            cfg = DiffusionConfig(
+                atom_nf=10, rec_nf=(32 if arch == "egnn" else 24), n_timesteps=8,
+                architecture=arch, rec_encoder_type="learned",
+                graph_cutoffs={"rr": 3.5, "rk": 100, "kk": 8, "kl": 6, "ll": 6},
+                dynamics=dyn, rec_encoder=enc,
+            )
+            return KeypointDiffusion(cfg)
+
+        m_t, m_o = build("take"), build("onehot")
+        cpx = synthetic_batch(5, batch=2, n_rec_pad=40, n_lig_pad=8, n_kp=8,
+                              kp_feat_dim=(32 if arch == "egnn" else 24),
+                              kp_vec_dim=(None if arch == "egnn" else 4),
+                              min_rec=30, min_lig=5, min_sep=1.8)
+        params = m_t.init(jax.random.key(0), cpx)
+        enc_t, _ = jax.jit(m_t.encode)(params, cpx)
+        enc_o, _ = jax.jit(m_o.encode)(params, cpx)
+        np.testing.assert_allclose(np.asarray(enc_t.kp_x), np.asarray(enc_o.kp_x),
+                                   rtol=0, atol=0, err_msg=arch)
+        np.testing.assert_allclose(np.asarray(enc_t.kp_h), np.asarray(enc_o.kp_h),
+                                   rtol=0, atol=0, err_msg=arch)
