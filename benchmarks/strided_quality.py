@@ -34,7 +34,7 @@ def main():
     ap.add_argument("--ks", default="50,100,250,1000")
     ap.add_argument("--n_receptors", type=int, default=8)
     ap.add_argument("--n_replicates", type=int, default=12)
-    ap.add_argument("--dataset_size", type=int, default=512)
+    ap.add_argument("--dataset_size", type=int, default=4096)  # train-CLI default split sizes
     ap.add_argument("--seed", type=int, default=43)
     ap.add_argument("--out", default="STRIDED_QUALITY.json")
     args = ap.parse_args()
