@@ -238,6 +238,7 @@ def main(argv=None):
     metrics_interval = tr.get("train_metrics_interval", 0.1)
     last_test_marker = last_save_marker = last_metrics_marker = 0.0
     prev_epoch = 0.0
+    nonfinite_streak = 0
 
     n_params = sum(int(np.prod(x.shape)) for x in jax.tree_util.tree_leaves(state.params))
     print(f"run dir: {run_dir}; params: {n_params:,}; devices: {n_dev}; iters/epoch: {iters_per_epoch}", flush=True)
@@ -265,18 +266,25 @@ def main(argv=None):
             rng, k = jax.random.split(rng)
             state, metrics = step_fn(state, k, batch)
 
-            # failure detection (SURVEY §5.3 gap): a non-finite loss halts
-            # training instead of silently corrupting the run. Do NOT save
-            # the current state: its params already absorbed the non-finite
-            # gradient (a run-3 halt checkpoint measured 491 NaN leaves);
-            # resume from the newest periodic checkpoint instead.
-            if not np.isfinite(float(metrics["l2"])):
+            # failure detection + recovery (SURVEY §5.3): the train step
+            # SKIPS non-finite updates (trainer.py keep_finite), so a
+            # sporadic bad batch is a logged non-event. Persistent
+            # non-finite losses mean the run is actually broken — halt
+            # after a streak, WITHOUT saving (a poisoned halt-checkpoint
+            # measured 491 NaN leaves in an earlier run); resume from the
+            # newest periodic checkpoint.
+            if metrics.get("skipped_nonfinite") is not None and float(metrics["skipped_nonfinite"]) > 0:
+                nonfinite_streak += 1
+                print(f"  WARNING: non-finite loss/grad at step {int(state.step)}; "
+                      f"update skipped (streak {nonfinite_streak})", flush=True)
+            else:
+                nonfinite_streak = 0
+            if nonfinite_streak >= 10:
                 steps = sorted(int(p.name.split("_")[1]) for p in ckpt_dir.glob("step_*"))
                 last_good = f"step_{steps[-1]}" if steps else "none"
                 raise RuntimeError(
-                    f"non-finite loss at step {int(state.step)} "
-                    f"(l2={float(metrics['l2'])}); state NOT saved (post-step params "
-                    f"are already poisoned) — resume from {ckpt_dir}/{last_good}"
+                    f"10 consecutive non-finite losses ending at step {int(state.step)}; "
+                    f"state NOT saved — resume from {ckpt_dir}/{last_good}"
                 )
 
             if epoch_exact - last_metrics_marker >= metrics_interval:

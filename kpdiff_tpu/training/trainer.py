@@ -103,13 +103,31 @@ def make_train_step(
         (total, losses), grads = jax.value_and_grad(full_loss, has_aux=True)(state.params)
 
         opt_state = _set_lr(state.opt_state, lr)
-        updates, opt_state = optimizer.update(grads, opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
+        updates, opt_state_new = optimizer.update(grads, opt_state, state.params)
+        params_new = optax.apply_updates(state.params, updates)
+
+        # failure recovery (SURVEY §5.3): a sporadic non-finite loss/grad
+        # (observed ~1 per few-thousand steps in long runs) must not poison
+        # the params — skip the update for that batch, keep optimizer state
+        # as-is, and report it. jnp.where keeps the pytree structures
+        # identical, so checkpoints stay compatible.
+        finite = jnp.isfinite(total)
+        for g in jax.tree_util.tree_leaves(grads):
+            finite = finite & jnp.all(jnp.isfinite(g))
+
+        def keep_finite(new, old):
+            return jax.tree_util.tree_map(
+                lambda n, o: jnp.where(finite, n, o) if isinstance(n, jnp.ndarray) else n,
+                new, old)
+
+        params = keep_finite(params_new, state.params)
+        opt_state = keep_finite(opt_state_new, opt_state)
 
         metrics = dict(losses)
         metrics["total"] = total
         metrics["lr"] = lr
         metrics["rec_enc_weight"] = w_rec
+        metrics["skipped_nonfinite"] = 1.0 - finite.astype(jnp.float32)
         new_state = TrainState(params=params, opt_state=opt_state, step=state.step + 1)
         return new_state, metrics
 

@@ -221,3 +221,31 @@ def test_params_npz_roundtrip(tmp_path):
     bad = jax.tree_util.tree_map(lambda x: np.zeros(x.shape + (2,), x.dtype), params)
     with pytest.raises(ValueError):
         load_params_npz(path, bad)
+
+
+def test_nonfinite_update_skipped():
+    """A batch that produces a non-finite loss must not change params or
+    optimizer state (trainer.py keep_finite); the next finite batch must
+    update normally. SURVEY §5.3 failure recovery."""
+    model = tiny_model()
+    cpx = synthetic_batch(2, batch=4, n_rec_pad=16, n_lig_pad=8, n_kp=16, kp_feat_dim=10)
+    tcfg = TrainConfig(learning_rate=1e-3, batch_size=4, scheduler=SchedulerConfig(base_lr=1e-3))
+    opt = make_optimizer(tcfg)
+    state = init_train_state(model, opt, jax.random.key(0), cpx)
+    step = make_train_step(model, tcfg, opt, iters_per_epoch=2)
+
+    before = [np.asarray(l) for l in jax.tree_util.tree_leaves(state.params)]
+    step0 = int(state.step)
+    bad = cpx.replace(lig_h=cpx.lig_h.at[0, 0, 0].set(jnp.inf))
+    state_bad, metrics = step(state, jax.random.key(1), bad)  # donates state
+    assert float(metrics["skipped_nonfinite"]) == 1.0
+    mid = [np.asarray(l) for l in jax.tree_util.tree_leaves(state_bad.params)]
+    for a, b in zip(before, mid):
+        assert np.array_equal(a, b)
+    assert int(state_bad.step) == step0 + 1  # step still advances
+
+    state_good, metrics2 = step(state_bad, jax.random.key(1), cpx)
+    assert float(metrics2["skipped_nonfinite"]) == 0.0
+    assert np.isfinite(float(metrics2["l2"]))
+    after = [np.asarray(l) for l in jax.tree_util.tree_leaves(state_good.params)]
+    assert any(not np.array_equal(a, b) for a, b in zip(mid, after))
