@@ -186,8 +186,18 @@ class MetricsLog:
 
     def __init__(self, path: Path):
         self.path = Path(path)
+        # resume-safe: keep prior rows instead of truncating the run's
+        # history (a round-3 resume wiped the first 130 epochs of metrics)
         self.rows = []
+        if self.path.exists():
+            try:
+                with open(self.path, "rb") as f:
+                    self.rows = list(pickle.load(f))
+            except Exception:
+                pass
         self._t0 = time.time()
+        if self.rows:
+            self._t0 -= float(self.rows[-1].get("time_passed", 0.0))
 
     def append(self, **row):
         row.setdefault("time_passed", time.time() - self._t0)

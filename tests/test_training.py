@@ -249,3 +249,19 @@ def test_nonfinite_update_skipped():
     assert np.isfinite(float(metrics2["l2"]))
     after = [np.asarray(l) for l in jax.tree_util.tree_leaves(state_good.params)]
     assert any(not np.array_equal(a, b) for a, b in zip(mid, after))
+
+
+def test_metrics_log_resume_appends(tmp_path):
+    """MetricsLog must keep prior rows on re-open (resume), not truncate."""
+    import pickle
+
+    from kpdiff_tpu.training.trainer import MetricsLog
+
+    p = tmp_path / "m.pkl"
+    log = MetricsLog(p)
+    log.append(l2=1.0, epoch=0.5)
+    log2 = MetricsLog(p)  # simulates a resume
+    log2.append(l2=0.5, epoch=1.0)
+    rows = pickle.load(open(p, "rb"))
+    assert [r["epoch"] for r in rows] == [0.5, 1.0]
+    assert rows[1]["time_passed"] >= rows[0]["time_passed"]
