@@ -15,11 +15,15 @@ the reported value is that weighted mixture of the measured buckets.
 
 Baseline note: the reference repo publishes no numbers and its checkpoints
 are stripped (BASELINE.md), so `vs_baseline` is computed against
-BASELINE_SEC_PER_LIGAND below — a conservative estimate of the A100
-PyTorch reference (1000 sequential python/DGL dispatch steps at batch 128;
-~1 s/ligand is the right order of magnitude for the keypoint configs and
-is deliberately favorable to the reference). Revisit when a real
-measurement of the reference exists.
+BASELINE_SEC_PER_LIGAND below — a DOCUMENTED estimate of the A100 PyTorch
+reference on this config, derived in benchmarks/roofline.py (exact sparse
+edge counts under the reference's graph rules on the same geometry,
+per-edge MLP FLOPs at A100 fp32 peak, DGL launch overhead, per-step
+torch_cluster rebuild; row "egnn_40kp".ref_est in BENCH_VARIANTS.json).
+The estimate is deliberately favorable to the reference — ideal sparse
+FLOPs at peak throughput; real DGL runs are slower — so the reported
+multiple is conservative. Revisit when a real measurement of the
+reference exists.
 """
 from __future__ import annotations
 
@@ -27,7 +31,7 @@ import json
 import sys
 import time
 
-BASELINE_SEC_PER_LIGAND = 1.0  # assumed A100 torch reference; see note above
+BASELINE_SEC_PER_LIGAND = 0.3776  # documented A100 reference estimate; see note above
 BUCKET_WEIGHTS = {16: 0.4585, 32: 0.4903, 48: 0.0511}  # ligand-size marginal CDF
 
 
