@@ -50,8 +50,11 @@ def parse_args(argv=None):
                         "(joint size distribution, sample_random_sizes equivalent), or an int")
     p.add_argument("--sample_steps", type=int, default=0,
                    help="opt-in strided sampling: run K < n_timesteps ancestral "
-                        "steps on a subsampled grid (~T/K x faster, some quality "
-                        "cost); 0 = the reference's full chain")
+                        "steps on a subsampled grid (~T/K x faster); 0 = the "
+                        "reference's full chain. Measured on the trained flagship "
+                        "(STRIDED_QUALITY.json): K=250 matches the full chain on "
+                        "every quality metric at 4x speed (recommended); K=100 is "
+                        "within a few points at 10x")
     p.add_argument("--visualize", action="store_true")
     p.add_argument("--frames_every", type=int, default=50)
     p.add_argument("--seed", type=int, default=0)
