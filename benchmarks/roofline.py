@@ -152,11 +152,14 @@ def ref_estimate(model, cpx, batch, T=1000):
     }
 
 
-def bench_variant(config, trained_run=None, reps=3, compare_kk=False, dyn_overrides=None):
+def bench_variant(config, trained_run=None, reps=3, compare_kk=False, dyn_overrides=None,
+                  batch_override=None):
     from kpdiff_tpu.config import PaddingConfig, load_config, model_from_config
     from kpdiff_tpu.models.complex import synthetic_batch
 
     batch, n_lig = SHAPES[config]
+    if batch_override:
+        batch = batch_override
     cfg = load_config(f"configs/{config}.yml")
     dyn_key = "dynamics_gvp" if cfg["diffusion"]["architecture"] == "gvp" else "dynamics"
     for ov in dyn_overrides or []:
@@ -259,11 +262,13 @@ def main():
     ap.add_argument("--compare_kk", action="store_true", help="also time the dense-kk layout for side-by-side")
     ap.add_argument("--dyn", action="append", default=[], metavar="KEY=VALUE",
                     help="dynamics(-gvp) config overrides, e.g. --dyn nbr_gather=onehot")
+    ap.add_argument("--batch", type=int, default=None, help="override the per-variant batch size")
     args = ap.parse_args()
     configs = args.configs or list(SHAPES)
     rows = []
     for c in configs:
-        row = bench_variant(c, trained_run=args.trained, compare_kk=args.compare_kk, dyn_overrides=args.dyn)
+        row = bench_variant(c, trained_run=args.trained, compare_kk=args.compare_kk, dyn_overrides=args.dyn,
+                            batch_override=args.batch)
         print(json.dumps(row), flush=True)
         rows.append(row)
     with open(args.out, "w") as f:

@@ -74,7 +74,7 @@ class KeypointDiffusion:
                 kk_layout=dyn.get("kk_layout", "dense"),
                 compute_dtype=dyn.get("compute_dtype", "float32"),
                 mxu_split_t=dyn.get("mxu_split_t", None),
-                nbr_gather=dyn.get("nbr_gather", "take"),
+                nbr_gather=dyn.get("nbr_gather", "onehot"),
             )
             # sampling-only variant with the fused Pallas edge kernel
             # (forward-only: pallas_call has no VJP; training uses XLA)

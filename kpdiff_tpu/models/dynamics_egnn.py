@@ -175,10 +175,14 @@ class EGNNDynamics(nn.Module):
     # None/False = off (measured slower on v5e — the sampler is HBM/VPU
     # bound, BASELINE.md round-2); True = explicit opt-in.
     mxu_split_t: bool = None
-    # 'onehot' computes neighbor-list/pair-list gathers as one-hot matmuls
-    # (exact; TPU dynamic gathers are slow relative to the MXU) — measured
-    # opt-in, see BASELINE.md round-3.
-    nbr_gather: str = "take"
+    # 'onehot' (default) computes neighbor-list/pair-list gathers as one-hot
+    # matmuls — bitwise equal to 'take' and 1.25-1.94x faster on every nbr
+    # variant (TPU dynamic gathers are slow relative to the MXU; BASELINE.md
+    # round-3). 'proj' additionally moves the gathered-side first-layer
+    # matmuls to node level (exact math, measured SLOWER — doubled gather
+    # width outweighs the removed pair matmuls on an HBM-bound step);
+    # 'take' = dynamic-gather HLO.
+    nbr_gather: str = "onehot"
 
     @nn.compact
     def __call__(

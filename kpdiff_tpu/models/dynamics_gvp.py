@@ -226,7 +226,7 @@ class GVPDynamics(nn.Module):
     compute_dtype: str = "float32"
     kk_layout: str = "dense"  # 'dense' | 'nbr' | 'block' (all-atom pocket-scale keypoints)
     kk_block_size: int = 64   # tile size for the 'block' layout
-    nbr_gather: str = "take"  # 'onehot': nbr/pair gathers as one-hot matmuls (exact)
+    nbr_gather: str = "onehot"  # one-hot-matmul gathers (exact; default — measured 1.7-1.9x on nbr variants); 'take' = dynamic-gather HLO
     # internal vector layout: 'flat' stores vectors (..., 3V) v-major so
     # elementwise/pair work is lane-efficient on TPU (a (..., V, 3) tensor
     # tiles at ~2% utilization); numerics identical (tests/test_gvp_flat.py)

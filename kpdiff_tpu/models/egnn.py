@@ -324,16 +324,33 @@ class EGNNEdgeKNNPairs(nn.Module):
         c2_w, c2_b = self._linear_params("coord_lin2", h, h)
         w_out = self.param("coord_out_w", xavier_uniform_scaled(0.001), (h, 1))
 
-        h_g, x_g = _gather_nodes(h_other, x_other, idx, self.gather_mode)  # (B,K,k,F/3)
-
         if self.anchor_is_src:
-            diff = x_anchor[:, :, None, :] - x_g  # x_src - x_dst
             w_anchor, w_gathered = e_ws, e_wd
             cw_anchor, cw_gathered = c_ws, c_wd
         else:
-            diff = x_g - x_anchor[:, :, None, :]
             w_anchor, w_gathered = e_wd, e_ws
             cw_anchor, cw_gathered = c_wd, c_ws
+
+        if self.gather_mode == "proj":
+            # project-before-gather (see EGNNEdgeNbrList): both chains'
+            # gathered-side first matmuls run at node level, one one-hot
+            # matmul pulls the stacked 2H projections.
+            if self.split_last:
+                raise ValueError("gather_mode='proj' is incompatible with split_last")
+            from kpdiff_tpu.ops.neighbors import onehot_gather
+
+            w_stack = jnp.concatenate([w_gathered.astype(cd), cw_gathered.astype(cd)], axis=1)
+            proj_other = h_other.astype(cd) @ w_stack  # (B, N, 2H)
+            proj_g, x_g = onehot_gather([proj_other, x_other], idx)
+            h_g = None
+        else:
+            h_g, x_g = _gather_nodes(h_other, x_other, idx, self.gather_mode)  # (B,K,k,F/3)
+            proj_g = None
+
+        if self.anchor_is_src:
+            diff = x_anchor[:, :, None, :] - x_g  # x_src - x_dst
+        else:
+            diff = x_g - x_anchor[:, :, None, :]
 
         diff = jnp.where(valid[..., None], diff, 0.0)
         dij = jnp.linalg.norm(diff + 1e-30, axis=-1, keepdims=True)
@@ -391,10 +408,14 @@ class EGNNEdgeKNNPairs(nn.Module):
             agg_x = jnp.sum(msg_x, axis=2)
             return agg_h, agg_x
 
-        def preact(wa, wg, wdij, bias):
+        def preact(wa, wg, wdij, bias, chain=0):
+            if proj_g is not None:  # proj mode: gathered projections, slice per chain
+                g_term = proj_g[..., chain * h : (chain + 1) * h]
+            else:
+                g_term = h_g.astype(cd) @ wg.astype(cd)
             return (
                 (h_anchor.astype(cd) @ wa.astype(cd))[:, :, None, :]
-                + h_g.astype(cd) @ wg.astype(cd)
+                + g_term
                 + dij.astype(cd) * wdij.astype(cd)
                 + bias.astype(cd)
             )
@@ -404,7 +425,7 @@ class EGNNEdgeKNNPairs(nn.Module):
         gate = nn.sigmoid(m @ at_w.astype(cd) + at_b.astype(cd))
         msg_h = (m * gate) * valid[..., None].astype(m.dtype)
 
-        c = nn.silu(preact(cw_anchor, cw_gathered, c_wdij[0][None, None, None], c_b))
+        c = nn.silu(preact(cw_anchor, cw_gathered, c_wdij[0][None, None, None], c_b, chain=1))
         c = nn.silu(c @ c2_w.astype(cd) + c2_b.astype(cd))
         scalar = (c @ w_out.astype(c.dtype)).astype(jnp.float32)
         if self.use_tanh:
@@ -470,7 +491,24 @@ class EGNNEdgeNbrList(nn.Module):
             c2 = [self._linear_params(f"coord_lin{i + 2}", h, h) for i in range(self.coord_hidden_layers - 1)]
             w_out = self.param("coord_out_w", xavier_uniform_scaled(0.001), (h, 1))
 
-        h_nbr, x_nbr = _gather_nodes(h_src, x_src, nbr_idx, self.gather_mode)  # (B,Nd,K,F/3)
+        if self.gather_mode == "proj":
+            # project-before-gather: onehot @ (h @ W) == (onehot @ h) @ W, so
+            # the gathered-side first-layer matmuls of BOTH chains run once at
+            # node level (stacked into a single matmul) and one one-hot matmul
+            # pulls the 2H-wide projections — the F-wide gathered-h tensor and
+            # the per-pair first matmuls never exist. Exact math; values equal
+            # to 'take' up to matmul tiling (tests/test_gather_mode.py).
+            if self.split_last:
+                raise ValueError("gather_mode='proj' is incompatible with split_last")
+            from kpdiff_tpu.ops.neighbors import onehot_gather
+
+            stack = [e_ws] + ([c_ws] if self.compute_coord else [])
+            w_stack = jnp.concatenate([w.astype(cd) for w in stack], axis=1)
+            proj_src = h_src.astype(cd) @ w_stack  # (B, Ns, H or 2H)
+            proj_nbr, x_nbr = onehot_gather([proj_src, x_src], nbr_idx)
+            h_nbr = None
+        else:
+            h_nbr, x_nbr = _gather_nodes(h_src, x_src, nbr_idx, self.gather_mode)  # (B,Nd,K,F/3)
         diff = x_nbr - x_dst[:, :, None, :]
         diff = jnp.where(nbr_valid[..., None], diff, 0.0)
         dij = jnp.linalg.norm(diff + 1e-30, axis=-1, keepdims=True)
@@ -514,10 +552,14 @@ class EGNNEdgeNbrList(nn.Module):
             agg_x = jnp.sum(msg_x * nbr_valid[..., None].astype(msg_x.dtype), axis=2)
             return agg_h, agg_x
 
-        def pair_preact(w_s, w_d, w_dij, b):
+        def pair_preact(w_s, w_d, w_dij, b, chain=0):
             scalars = dij if edge_feat is None else jnp.concatenate([dij, edge_feat], axis=-1)
+            if h_nbr is None:  # proj mode: gathered projections, slice per chain
+                src_term = proj_nbr[..., chain * h : (chain + 1) * h]
+            else:
+                src_term = h_nbr.astype(cd) @ w_s.astype(cd)
             return (
-                h_nbr.astype(cd) @ w_s.astype(cd)
+                src_term
                 + (h_dst.astype(cd) @ w_d.astype(cd))[:, :, None, :]
                 + scalars.astype(cd) @ w_dij.astype(cd)
                 + b.astype(cd)
@@ -534,7 +576,7 @@ class EGNNEdgeNbrList(nn.Module):
         if not self.compute_coord:
             return agg_h, jnp.zeros_like(x_dst)
 
-        c = nn.silu(pair_preact(c_ws, c_wd, c_wdij, c_b))
+        c = nn.silu(pair_preact(c_ws, c_wd, c_wdij, c_b, chain=1))
         for cw, cb in c2:
             c = nn.silu(c @ cw.astype(cd) + cb.astype(cd))
         scalar = (c @ w_out.astype(c.dtype)).astype(jnp.float32)

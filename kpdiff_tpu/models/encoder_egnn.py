@@ -132,7 +132,7 @@ class EGNNReceptorEncoder(nn.Module):
     # option for very large sets.
     rr_layout: str = "nbr"
     rr_block_size: int = 64
-    nbr_gather: str = "take"  # 'onehot': rr gathers as one-hot matmuls (exact)
+    nbr_gather: str = "onehot"  # one-hot-matmul rr gathers (exact; default); 'take' = dynamic-gather HLO
     compute_dtype: str = "float32"  # 'bfloat16' for mixed-precision edge MLPs
 
     @nn.compact

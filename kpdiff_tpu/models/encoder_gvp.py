@@ -165,7 +165,7 @@ class GVPReceptorEncoder(nn.Module):
     rr_max_neighbors: int = 32  # see encoder_egnn.py note
     rr_layout: str = "nbr"  # exact capped nbr list (see encoder_egnn.py note) | 'block'
     rr_block_size: int = 64
-    nbr_gather: str = "take"  # 'onehot': rr/rk gathers as one-hot matmuls (exact)
+    nbr_gather: str = "onehot"  # one-hot-matmul rr/rk gathers (exact; default); 'take' = dynamic-gather HLO
     compute_dtype: str = "float32"
     # internal vector layout (models/gvp.py flat docs); kp_v is unflattened
     # back to (B, K, V, 3) at the encoder boundary

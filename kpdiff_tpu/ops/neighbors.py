@@ -174,7 +174,10 @@ def onehot_gather(arrays, idx):
         flat = 1
         for t in tail:
             flat *= t
-        g = jnp.einsum("ben,bnf->bef", oh, a.reshape(b, n, flat).astype(jnp.float32),
+        # bf16 arrays ride the MXU in bf16 (halves the gather's HBM reads);
+        # the f32-accumulated single product is still bitwise equal to take.
+        ad = a.dtype if a.dtype == jnp.bfloat16 else jnp.float32
+        g = jnp.einsum("ben,bnf->bef", oh.astype(ad), a.reshape(b, n, flat).astype(ad),
                        preferred_element_type=jnp.float32)
         outs.append(g.reshape(*idx.shape, *tail).astype(a.dtype))
     return outs

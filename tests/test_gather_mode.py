@@ -123,3 +123,37 @@ def test_learned_encoders_onehot_gather_matches_take():
                                    rtol=0, atol=0, err_msg=arch)
         np.testing.assert_allclose(np.asarray(enc_t.kp_h), np.asarray(enc_o.kp_h),
                                    rtol=0, atol=0, err_msg=arch)
+
+
+@pytest.mark.parametrize("compute_dtype", ["float32", "bfloat16"])
+def test_dynamics_proj_gather_close_to_take(compute_dtype):
+    """gather_mode='proj' (project-before-gather: onehot @ (h@W) ==
+    (onehot@h) @ W) is exact math; values may differ from 'take' only by
+    matmul tiling/reassociation rounding, so assert tight allclose over a
+    full sampling chain rather than bitwise."""
+    def build(nbr_gather):
+        cfg = DiffusionConfig(
+            atom_nf=10, rec_nf=10, n_timesteps=8, rec_encoder_type="fixed",
+            graph_cutoffs={"rr": 3.5, "rk": 100, "kk": 8, "kl": 6, "ll": 6},
+            dynamics=dict(n_layers=2, hidden_nf=32, use_tanh=True, message_norm=1,
+                          norm=True, kl_k=3, update_kp_feat=True,
+                          compute_dtype=compute_dtype, nbr_gather=nbr_gather),
+        )
+        return KeypointDiffusion(cfg)
+
+    m_take, m_proj = build("take"), build("proj")
+    cpx = synthetic_batch(7, batch=3, n_rec_pad=48, n_lig_pad=10, n_kp=48,
+                          kp_feat_dim=10, min_rec=30, min_lig=6, min_sep=1.8)
+    params = m_take.init(jax.random.key(0), cpx)
+
+    enc, kk = jax.jit(m_take.encode)(params, cpx)
+    kk_c = m_take.compact_kk(enc, kk)
+    assert isinstance(kk_c, tuple)
+
+    out_t = jax.jit(lambda p, r, e, k: m_take.sample(p, r, e, k))(params, jax.random.key(1), enc, kk_c)
+    out_p = jax.jit(lambda p, r, e, k: m_proj.sample(p, r, e, k))(params, jax.random.key(1), enc, kk_c)
+    tol = 1e-5 if compute_dtype == "float32" else 5e-2
+    np.testing.assert_allclose(np.asarray(out_t["lig_x"]), np.asarray(out_p["lig_x"]),
+                               rtol=tol, atol=tol)
+    np.testing.assert_allclose(np.asarray(out_t["lig_h"]), np.asarray(out_p["lig_h"]),
+                               rtol=tol, atol=tol)
