@@ -65,7 +65,22 @@ def build_and_run(config, dyn, trace_dir):
 
 
 def parse_xplane(trace_dir, top):
-    from tensorflow.core.profiler.protobuf import xplane_pb2
+    # the xplane proto moved between TF releases; try the known homes
+    xplane_pb2 = None
+    for path in (
+        "tensorflow.tsl.profiler.protobuf.xplane_pb2",
+        "tensorflow.core.profiler.protobuf.xplane_pb2",
+        "xprof.protobuf.xplane_pb2",
+    ):
+        try:
+            import importlib
+
+            xplane_pb2 = importlib.import_module(path)
+            break
+        except ImportError:
+            continue
+    if xplane_pb2 is None:
+        raise ImportError("no xplane_pb2 found in tensorflow/tsl/xprof")
 
     paths = glob.glob(os.path.join(trace_dir, "**", "*.xplane.pb"), recursive=True)
     if not paths:
