@@ -75,6 +75,7 @@ class KeypointDiffusion:
                 compute_dtype=dyn.get("compute_dtype", "float32"),
                 mxu_split_t=dyn.get("mxu_split_t", None),
                 nbr_gather=dyn.get("nbr_gather", "onehot"),
+                z_semantics=dyn.get("z_semantics", "intent"),
             )
             # sampling-only variant with the fused Pallas edge kernel
             # (forward-only: pallas_call has no VJP; training uses XLA)

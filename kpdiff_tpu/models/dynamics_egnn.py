@@ -183,6 +183,16 @@ class EGNNDynamics(nn.Module):
     # width outweighs the removed pair matmuls on an HBM-bound step);
     # 'take' = dynamic-gather HLO.
     nbr_gather: str = "onehot"
+    # message_norm=0 semantics. 'intent' divides aggregated messages by the
+    # per-graph avg in-degree + 1 (what dynamics.py:188-192 MEANS to do).
+    # 'executed' replicates what the reference actually computes under DGL:
+    # that loop mutates the FRESH dict returned by hetero `graph.ndata[...]`
+    # (dgl/view.py HeteroNodeDataView.__getitem__), so the division is a
+    # lost write and no normalization is applied (z == 1) — see
+    # tests/refexec.py and tests/test_reference_execution.py. Use
+    # 'executed' when importing shipped reference EGNN checkpoints (all of
+    # which set message_norm: 0). Has no effect when message_norm != 0.
+    z_semantics: str = "intent"
 
     @nn.compact
     def __call__(
@@ -239,7 +249,11 @@ class EGNNDynamics(nn.Module):
 
         # message normalizers (dynamics.py:275-285): avg in-degree + 1 per graph
         z = {}
-        if self.message_norm == 0:
+        if self.message_norm == 0 and self.z_semantics == "executed":
+            # replicate the reference's lost write (see z_semantics docs)
+            z["lig"] = 1.0
+            z["kp"] = 1.0
+        elif self.message_norm == 0:
             n_lig = jnp.maximum(jnp.sum(lig_mask, axis=1), 1)
             e_lig = jnp.sum(ll, axis=(1, 2)) + e_kl
             z["lig"] = (e_lig / n_lig + 1.0)[:, None, None]

@@ -15,7 +15,16 @@ Covered, each golden-tested against an independent torch reimplementation
 updates, layer norms, encoders/decoders), the learned EGNN receptor
 encoder, GVP dynamics, and the learned GVP receptor encoder; fixed-encoder
 models have no encoder params. `convert_reference_checkpoint` assembles a
-complete model from a full state_dict (tests/test_whole_model_import.py).
+complete model from a full state_dict (tests/test_whole_model_import.py),
+and the EGNN dynamics conversion is additionally verified against the
+REFERENCE'S OWN models/dynamics.py executed through a first-party DGL
+emulation (tests/test_reference_execution.py).
+
+Parity note for imported EGNN checkpoints: set
+`dynamics.z_semantics: executed` in the config — the reference's
+message_norm=0 normalization is a lost write in its executed DGL code
+(PARITY.md deviation 10), so shipped EGNN checkpoints were trained and
+evaluated WITHOUT z-normalization in the dynamics.
 """
 from __future__ import annotations
 

@@ -1,0 +1,412 @@
+"""Execute the REFERENCE's own model code in this torch-only image.
+
+dgl / torch_cluster cannot be installed here, so golden parity has so far
+been checked against same-author torch reimplementations (VERDICT r2,
+"What's missing" #3). This module closes most of that gap: it provides a
+minimal first-party emulation of exactly the DGL + torch_cluster API
+surface that `/root/reference/models/dynamics.py` touches, so the
+reference module itself (not a reimplementation) can be imported and
+executed for parity tests.
+
+The shim is NOT a DGL reimplementation — only the container semantics
+the reference file uses: heterograph node/edge data dicts, apply_edges
+with `dgl.function` builtins or Python callables, multi_update_all with
+sum reduction, local_scope, add/remove_edges, and batch bookkeeping.
+
+One semantic is genuinely ambiguous without real DGL on hand:
+`graph.ndata[field]` on a multi-ntype heterograph. In DGL's view.py,
+HeteroNodeDataView.__getitem__ builds and returns a FRESH plain dict, so
+the reference's normalization loop (dynamics.py:188-192)
+
+    for key in graph.ndata['h_neigh']:
+        graph.ndata['h_neigh'][key] = graph.ndata['h_neigh'][key]/z_dict[key]
+
+mutates a temporary and the division never lands — i.e. the EXECUTED
+reference applies NO message normalization in the dynamics (while the
+receptor encoders use the correct per-ntype pattern and DO normalize,
+receptor_encoder.py:147, gvp.py:298-301). Every shipped EGNN config sets
+`message_norm: 0` (the adaptive-z path), so this matters for checkpoint
+parity. The shim emulates both candidate semantics via
+`ndata_writeback`:
+
+  False (DGL's actual behavior, best reading of dgl/view.py): the loop
+        is a lost write -> z is never applied.
+  True  (the intended semantics): writes land -> z applied.
+
+tests/test_reference_execution.py runs the reference under BOTH and
+checks our dynamics matches each under the corresponding
+`z_semantics` config ('executed' / 'intent').
+"""
+import contextlib
+import importlib
+import sys
+import types
+from typing import Dict, Tuple
+
+import torch
+
+REFERENCE_ROOT = "/root/reference"
+
+
+# ---------------------------------------------------------------- dgl.function
+class _USubV:
+    def __init__(self, u, v, out):
+        self.u, self.v, self.out = u, v, out
+
+
+class _CopyE:
+    def __init__(self, e, m):
+        self.e, self.m = e, m
+
+
+class _SumRed:
+    def __init__(self, m, out):
+        self.m, self.out = m, out
+
+
+class _MeanRed:
+    def __init__(self, m, out):
+        self.m, self.out = m, out
+
+
+def _make_fn_module():
+    m = types.ModuleType("dgl.function")
+    m.u_sub_v = _USubV
+    m.copy_e = _CopyE
+    m.sum = _SumRed
+    m.mean = _MeanRed
+    return m
+
+
+# ------------------------------------------------------------------- the graph
+class _FieldView(dict):
+    """ndata[field] result emulating write-back semantics: a mapping whose
+    per-ntype assignment lands in the graph's node frames."""
+
+    def __init__(self, g, field):
+        super().__init__({nt: d[field] for nt, d in g._ndata.items() if field in d})
+        self._g, self._field = g, field
+
+    def __setitem__(self, ntype, value):
+        super().__setitem__(ntype, value)
+        self._g._ndata[ntype][self._field] = value
+
+
+class _NDataView:
+    def __init__(self, g):
+        self._g = g
+
+    def __setitem__(self, field, value):
+        assert isinstance(value, dict), "hetero ndata set expects {ntype: tensor}"
+        for nt, v in value.items():
+            self._g._ndata[nt][field] = v
+
+    def __getitem__(self, field):
+        g = self._g
+        if g.ndata_writeback:
+            return _FieldView(g, field)
+        # DGL behavior: HeteroNodeDataView.__getitem__ builds a fresh dict
+        return {nt: d[field] for nt, d in g._ndata.items() if field in d}
+
+
+class _NodesView:
+    def __init__(self, g, nt):
+        self.data = g._ndata[nt]  # the live dict: write-through, like DGL
+
+
+class _Lookup:
+    def __init__(self, d):
+        self._d = d
+
+    def __getitem__(self, key):
+        return self._d[key]
+
+
+class _EdgeBatch:
+    def __init__(self, g, et):
+        s_nt, _, d_nt = g._canonical[et]
+        u, v = g._edges[et]
+        self.src = _Lookup({k: t[u] for k, t in g._ndata[s_nt].items()})
+        self.dst = _Lookup({k: t[v] for k, t in g._ndata[d_nt].items()})
+        self.data = _Lookup(g._edata[et])
+        self.canonical_etype = g._canonical[et]
+
+
+class HeteroGraphShim:
+    """The DGL surface used by the reference's dynamics module."""
+
+    def __init__(self, num_nodes: Dict[str, int], etypes: Dict[str, Tuple[str, str]],
+                 ndata_writeback: bool = False):
+        self._n = dict(num_nodes)
+        self._canonical = {et: (s, et, d) for et, (s, d) in etypes.items()}
+        e = torch.empty(0, dtype=torch.long)
+        self._edges = {et: (e.clone(), e.clone()) for et in etypes}
+        self._ndata = {nt: {} for nt in num_nodes}
+        self._edata = {et: {} for et in etypes}
+        self._batch_num_nodes = {nt: torch.tensor([n]) for nt, n in num_nodes.items()}
+        self._batch_num_edges = {self._canonical[et]: torch.tensor([0]) for et in etypes}
+        self.batch_size = 1
+        self.ndata_writeback = ndata_writeback
+
+    # ---- structure
+    @property
+    def ntypes(self):
+        return list(self._n)
+
+    @property
+    def canonical_etypes(self):
+        return list(self._canonical.values())
+
+    def num_nodes(self, ntype):
+        return self._n[ntype]
+
+    def _et(self, etype):
+        """Accept both the short string name and the canonical tuple."""
+        return etype[1] if isinstance(etype, tuple) else etype
+
+    @property
+    def device(self):
+        return torch.device("cpu")
+
+    def add_edges(self, u, v, etype):
+        etype = self._et(etype)
+        assert not self._edata[etype], "shim: add_edges after edata was set"
+        pu, pv = self._edges[etype]
+        u = torch.as_tensor(u, dtype=torch.long)
+        v = torch.as_tensor(v, dtype=torch.long)
+        self._edges[etype] = (torch.cat([pu, u]), torch.cat([pv, v]))
+
+    def remove_edges(self, eids, etype):
+        etype = self._et(etype)
+        u, v = self._edges[etype]
+        keep = torch.ones(u.shape[0], dtype=torch.bool)
+        keep[eids] = False
+        self._edges[etype] = (u[keep], v[keep])
+        self._edata[etype] = {k: t[keep] for k, t in self._edata[etype].items()}
+
+    @property
+    def edges(self):
+        """DGL's g.edges is both callable (g.edges(form='eid', etype=...))
+        and subscriptable (g.edges[etype].data)."""
+        g = self
+
+        class _EdgesAccessor:
+            def __call__(self, form="eid", etype=None):
+                assert form == "eid"
+                return torch.arange(g._edges[g._et(etype)][0].shape[0])
+
+            def __getitem__(self, etype):
+                view = types.SimpleNamespace()
+                view.data = g._edata[g._et(etype)]  # live dict: write-through
+                return view
+
+        return _EdgesAccessor()
+
+    # ---- batch bookkeeping
+    def batch_num_nodes(self, ntype):
+        return self._batch_num_nodes[ntype]
+
+    def batch_num_edges(self, etype):
+        key = self._canonical[etype] if isinstance(etype, str) else etype
+        return self._batch_num_edges[key]
+
+    def set_batch_num_nodes(self, d):
+        self._batch_num_nodes = dict(d)
+
+    def set_batch_num_edges(self, d):
+        self._batch_num_edges = {(self._canonical[k] if isinstance(k, str) else k): v
+                                 for k, v in d.items()}
+
+    # ---- data views
+    @property
+    def ndata(self):
+        return _NDataView(self)
+
+    @property
+    def nodes(self):
+        g = self
+
+        class _N:
+            def __getitem__(self, nt):
+                return _NodesView(g, nt)
+
+        return _N()
+
+    @contextlib.contextmanager
+    def local_scope(self):
+        # DGL scopes FEATURE data only; structure mutations persist
+        nsnap = {nt: dict(d) for nt, d in self._ndata.items()}
+        esnap = {et: dict(d) for et, d in self._edata.items()}
+        try:
+            yield self
+        finally:
+            self._ndata = nsnap
+            self._edata = esnap
+
+    # ---- message passing
+    def apply_edges(self, func, etype=None):
+        etype = self._et(etype)
+        if isinstance(func, _USubV):
+            s_nt, _, d_nt = self._canonical[etype]
+            u, v = self._edges[etype]
+            out = self._ndata[s_nt][func.u][u] - self._ndata[d_nt][func.v][v]
+            self._edata[etype][func.out] = out
+        else:
+            ret = func(_EdgeBatch(self, etype))
+            self._edata[etype].update(ret)
+
+    def _reduce_one(self, et, msg_fn, red_fn):
+        """copy_e + sum/mean over one etype -> (dst ntype, field, tensor)."""
+        assert isinstance(msg_fn, _CopyE) and isinstance(red_fn, (_SumRed, _MeanRed))
+        _, _, d_nt = self._canonical[et]
+        _, v = self._edges[et]
+        msg = self._edata[et][msg_fn.e]
+        agg = torch.zeros((self._n[d_nt],) + msg.shape[1:], dtype=msg.dtype)
+        agg.index_add_(0, v, msg)
+        if isinstance(red_fn, _MeanRed):
+            cnt = torch.zeros(self._n[d_nt], dtype=msg.dtype)
+            cnt.index_add_(0, v, torch.ones(v.shape[0], dtype=msg.dtype))
+            cnt = torch.clamp(cnt, min=1).reshape((-1,) + (1,) * (msg.dim() - 1))
+            agg = agg / cnt
+        return d_nt, red_fn.out, agg
+
+    def update_all(self, msg_fn, red_fn, etype=None):
+        d_nt, field, agg = self._reduce_one(self._et(etype), msg_fn, red_fn)
+        self._ndata[d_nt][field] = agg
+
+    def multi_update_all(self, etype_dict, cross_reducer="sum"):
+        assert cross_reducer == "sum"
+        acc = {}  # (dst_nt, out_field) -> tensor
+        for et, (msg_fn, red_fn) in etype_dict.items():
+            d_nt, field, agg = self._reduce_one(self._et(et), msg_fn, red_fn)
+            acc[(d_nt, field)] = acc.get((d_nt, field), 0) + agg
+        for (d_nt, field), t in acc.items():
+            self._ndata[d_nt][field] = t
+
+
+# ---------------------------------------------------------------- torch_cluster
+def _per_batch(batch, n):
+    return torch.zeros(n, dtype=torch.long) if batch is None else batch
+
+
+def tc_knn(x, y, k, batch_x=None, batch_y=None):
+    """For each row of y, its k nearest rows of x (same batch). Returns
+    [2, E] with row0 = y indices, row1 = x indices (torch_cluster.knn)."""
+    bx = _per_batch(batch_x, x.shape[0])
+    by = _per_batch(batch_y, y.shape[0])
+    rows, cols = [], []
+    d = torch.cdist(y, x)
+    d = d + (by[:, None] != bx[None, :]) * 1e10
+    kk = min(k, x.shape[0])
+    idx = d.argsort(dim=1)[:, :kk]
+    for i in range(y.shape[0]):
+        for j in idx[i].tolist():
+            rows.append(i)
+            cols.append(j)
+    return torch.stack([torch.tensor(rows, dtype=torch.long), torch.tensor(cols, dtype=torch.long)])
+
+
+def tc_knn_graph(x, k, batch=None, loop=False):
+    """k-nearest within one set, no self loops; flow='source_to_target':
+    edge_index[0] = neighbor (source), edge_index[1] = center (target)."""
+    b = _per_batch(batch, x.shape[0])
+    d = torch.cdist(x, x)
+    d = d + (b[:, None] != b[None, :]) * 1e10
+    if not loop:
+        d.fill_diagonal_(1e10)
+    idx = d.argsort(dim=1)[:, : min(k, x.shape[0] - 1)]
+    src, dst = [], []
+    for i in range(x.shape[0]):
+        for j in idx[i].tolist():
+            src.append(j)
+            dst.append(i)
+    return torch.stack([torch.tensor(src, dtype=torch.long), torch.tensor(dst, dtype=torch.long)])
+
+
+def tc_radius(x, y, r, batch_x=None, batch_y=None, max_num_neighbors=32):
+    """Pairs (y_i, x_j) with ||y_i - x_j|| < r, same batch, up to
+    max_num_neighbors per y. Returns [2, E] row0 = y idx, row1 = x idx."""
+    bx = _per_batch(batch_x, x.shape[0])
+    by = _per_batch(batch_y, y.shape[0])
+    d = torch.cdist(y, x)
+    d = d + (by[:, None] != bx[None, :]) * 1e10
+    rows, cols = [], []
+    for i in range(y.shape[0]):
+        js = torch.nonzero(d[i] < r).flatten()
+        js = js[d[i][js].argsort()][:max_num_neighbors]
+        for j in js.tolist():
+            rows.append(i)
+            cols.append(j)
+    return torch.stack([torch.tensor(rows, dtype=torch.long), torch.tensor(cols, dtype=torch.long)])
+
+
+def tc_radius_graph(x, r, batch=None, loop=False, max_num_neighbors=32):
+    """All ordered pairs within r (no self loops), up to max per node; the
+    set is symmetric so the flow convention does not matter."""
+    b = _per_batch(batch, x.shape[0])
+    d = torch.cdist(x, x)
+    d = d + (b[:, None] != b[None, :]) * 1e10
+    if not loop:
+        d.fill_diagonal_(1e10)
+    src, dst = [], []
+    for i in range(x.shape[0]):
+        js = torch.nonzero(d[i] < r).flatten()
+        js = js[d[i][js].argsort()][:max_num_neighbors]
+        for j in js.tolist():
+            src.append(j)
+            dst.append(i)
+    return torch.stack([torch.tensor(src, dtype=torch.long), torch.tensor(dst, dtype=torch.long)])
+
+
+# -------------------------------------------------------------------- loading
+_SHIM_MODULES = ["dgl", "dgl.function", "torch_cluster", "openbabel"]
+_REF_MODULES = ["utils", "models", "models.dynamics", "models.gvp", "models.dynamics_gvp"]
+
+
+def load_reference_dynamics():
+    """Import the reference's models/dynamics.py under the shim."""
+    return load_reference_module("models.dynamics")
+
+
+def load_reference_gvp_dynamics():
+    """Import the reference's models/dynamics_gvp.py (and models/gvp.py)
+    under the shim."""
+    return load_reference_module("models.dynamics_gvp")
+
+
+def load_reference_module(modname):
+    """Import a reference module under the shim; returns the module. Caller
+    builds HeteroGraphShim graphs to feed it."""
+    saved = {m: sys.modules.get(m) for m in _SHIM_MODULES + _REF_MODULES}
+
+    dgl_mod = types.ModuleType("dgl")
+    dgl_mod.function = _make_fn_module()
+    dgl_mod.DGLHeteroGraph = HeteroGraphShim  # type annotation target only
+    dgl_mod.DGLGraph = HeteroGraphShim
+
+    tcl = types.ModuleType("torch_cluster")
+    tcl.knn = tc_knn
+    tcl.knn_graph = tc_knn_graph
+    tcl.radius = tc_radius
+    tcl.radius_graph = tc_radius_graph
+
+    sys.modules["dgl"] = dgl_mod
+    sys.modules["dgl.function"] = dgl_mod.function
+    sys.modules["torch_cluster"] = tcl
+    sys.modules["openbabel"] = types.ModuleType("openbabel")
+
+    for m in _REF_MODULES:
+        sys.modules.pop(m, None)
+    sys.path.insert(0, REFERENCE_ROOT)
+    try:
+        mod = importlib.import_module(modname)
+    finally:
+        sys.path.remove(REFERENCE_ROOT)
+        # restore the module table for everything EXCEPT the loaded reference
+        # modules (mod keeps working through its own globals)
+        for name, prev in saved.items():
+            if prev is not None:
+                sys.modules[name] = prev
+            else:
+                sys.modules.pop(name, None)
+    return mod
