@@ -134,6 +134,14 @@ class EGNNReceptorEncoder(nn.Module):
     rr_block_size: int = 64
     nbr_gather: str = "onehot"  # one-hot-matmul rr gathers (exact; default); 'take' = dynamic-gather HLO
     compute_dtype: str = "float32"  # 'bfloat16' for mixed-precision edge MLPs
+    # Keypoint attention semantics. 'intent' (default) is a true softmax.
+    # 'executed' replicates what the reference actually computes: at
+    # receptor_encoder.py:201-210 the scaling and exp are applied to LOCAL
+    # variables only, so fn.v_mul_e reads the RAW edge dot product — the
+    # executed weights are raw_dot / sum_r exp(raw_dot/sqrt(F)): not
+    # normalized, can be negative (tests/test_reference_execution.py).
+    # Use 'executed' when importing shipped learned-encoder checkpoints.
+    attn_semantics: str = "intent"
 
     @nn.compact
     def __call__(self, cpx: PaddedComplex) -> PaddedComplex:
@@ -236,9 +244,15 @@ class EGNNReceptorEncoder(nn.Module):
         ft_rec = fc_src(h)  # (B, Nr, F)
         ft_kp = fc_src(kp_h)  # (B, K, F)
 
-        logits = jnp.einsum("bkf,brf->bkr", ft_kp, ft_rec) / jnp.sqrt(float(F))
-        logits = jnp.where(mask[:, None, :], logits, _NEG)
-        attn = nn.softmax(logits, axis=-1)  # (B, K, Nr)
+        raw = jnp.einsum("bkf,brf->bkr", ft_kp, ft_rec)  # (B, K, Nr)
+        logits = jnp.where(mask[:, None, :], raw / jnp.sqrt(float(F)), _NEG)
+        if self.attn_semantics == "executed":
+            # the reference's lost exp/scale: numerator is the raw dot,
+            # denominator the masked sum of exp(raw/sqrt(F)) (see field docs)
+            denom = jnp.sum(jnp.exp(logits), axis=-1, keepdims=True)
+            attn = jnp.where(mask[:, None, :], raw, 0.0) / denom
+        else:
+            attn = nn.softmax(logits, axis=-1)  # (B, K, Nr)
 
         val = x0 if self.fix_pos else x  # receptor_encoder.py:213-217
         kp_pos = jnp.einsum("bkr,brc->bkc", attn, val)

@@ -167,6 +167,12 @@ class GVPReceptorEncoder(nn.Module):
     rr_block_size: int = 64
     nbr_gather: str = "onehot"  # one-hot-matmul rr/rk gathers (exact; default); 'take' = dynamic-gather HLO
     compute_dtype: str = "float32"
+    # 'executed' replicates the reference's keypoint attention as actually
+    # computed: receptor_encoder_gvp.py:71-81 scales/exps LOCAL copies only,
+    # so fn.v_mul_e reads the RAW dot — weights raw/sum(exp(raw/sqrt(F))),
+    # unnormalized (same lost write as the EGNN encoder; see
+    # encoder_egnn.py attn_semantics and tests/test_reference_execution.py).
+    attn_semantics: str = "intent"
     # internal vector layout (models/gvp.py flat docs); kp_v is unflattened
     # back to (B, K, V, 3) at the encoder boundary
     vec_layout: str = "flat"
@@ -271,9 +277,14 @@ class GVPReceptorEncoder(nn.Module):
 
         ft_rec = TorchLinear(F, use_bias=False, name="src_net")(h)
         ft_kp = TorchLinear(F, use_bias=False, name="dst_net")(kp_emb)
-        logits = jnp.einsum("bkf,brf->bkr", ft_kp, ft_rec) / jnp.sqrt(float(F))
-        logits = jnp.where(mask[:, None, :], logits, _NEG)
-        attn = nn.softmax(logits, axis=-1)
+        raw = jnp.einsum("bkf,brf->bkr", ft_kp, ft_rec)
+        logits = jnp.where(mask[:, None, :], raw / jnp.sqrt(float(F)), _NEG)
+        if self.attn_semantics == "executed":
+            # the reference's lost exp/scale (see field docs)
+            denom = jnp.sum(jnp.exp(logits), axis=-1, keepdims=True)
+            attn = jnp.where(mask[:, None, :], raw, 0.0) / denom
+        else:
+            attn = nn.softmax(logits, axis=-1)
         kp_pos = jnp.einsum("bkr,brc->bkc", attn, x0)
 
         kp_h = jnp.zeros((b, K, F), h.dtype)

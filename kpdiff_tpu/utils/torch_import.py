@@ -20,11 +20,17 @@ and the EGNN dynamics conversion is additionally verified against the
 REFERENCE'S OWN models/dynamics.py executed through a first-party DGL
 emulation (tests/test_reference_execution.py).
 
-Parity note for imported EGNN checkpoints: set
-`dynamics.z_semantics: executed` in the config — the reference's
-message_norm=0 normalization is a lost write in its executed DGL code
-(PARITY.md deviation 10), so shipped EGNN checkpoints were trained and
-evaluated WITHOUT z-normalization in the dynamics.
+Parity notes for imported checkpoints (both found by executing the
+reference's own modules — tests/test_reference_execution.py):
+  * EGNN dynamics: set `dynamics.z_semantics: executed` — the reference's
+    message_norm=0 normalization is a lost write in its executed DGL code
+    (PARITY.md deviation 10); shipped EGNN checkpoints were trained
+    WITHOUT z-normalization in the dynamics.
+  * Learned encoders (EGNN and GVP): set
+    `rec_encoder.attn_semantics: executed` — the reference's keypoint
+    attention never exponentiates the edge numerators (PARITY.md
+    deviation 11), so shipped learned-encoder checkpoints position
+    keypoints with raw-dot/Σexp weights, not a softmax.
 """
 from __future__ import annotations
 

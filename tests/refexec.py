@@ -69,12 +69,50 @@ class _MeanRed:
         self.m, self.out = m, out
 
 
+class _UDotV:
+    def __init__(self, u, v, out):
+        self.u, self.v, self.out = u, v, out
+
+
+class _VMulE:
+    def __init__(self, v, e, out):
+        self.v, self.e, self.out = v, e, out
+
+
+class _UMulE:
+    def __init__(self, u, e, out):
+        self.u, self.e, self.out = u, e, out
+
+
+class _CopyU:
+    def __init__(self, u, m):
+        self.u, self.m = u, m
+
+
+def _feat_mul(a, b):
+    """Multiply two per-edge tensors broadcasting their FEATURE shapes the
+    way DGL does: left-pad the shorter feature shape with 1s (edge dim 0
+    stays aligned). (E,3) x (E,h,1) -> (E,h,3)."""
+    fa, fb = a.shape[1:], b.shape[1:]
+    while len(fa) < len(fb):
+        a = a.unsqueeze(1)
+        fa = a.shape[1:]
+    while len(fb) < len(fa):
+        b = b.unsqueeze(1)
+        fb = b.shape[1:]
+    return a * b
+
+
 def _make_fn_module():
     m = types.ModuleType("dgl.function")
     m.u_sub_v = _USubV
     m.copy_e = _CopyE
     m.sum = _SumRed
     m.mean = _MeanRed
+    m.u_dot_v = _UDotV
+    m.v_mul_e = _VMulE
+    m.u_mul_e = _UMulE
+    m.copy_u = _CopyU
     return m
 
 
@@ -170,11 +208,14 @@ class HeteroGraphShim:
 
     def add_edges(self, u, v, etype):
         etype = self._et(etype)
-        assert not self._edata[etype], "shim: add_edges after edata was set"
         pu, pv = self._edges[etype]
         u = torch.as_tensor(u, dtype=torch.long)
         v = torch.as_tensor(v, dtype=torch.long)
         self._edges[etype] = (torch.cat([pu, u]), torch.cat([pv, v]))
+        # DGL zero-pads existing edge features for the new edges
+        for k, t in self._edata[etype].items():
+            pad = torch.zeros((u.shape[0],) + t.shape[1:], dtype=t.dtype)
+            self._edata[etype][k] = torch.cat([t, pad])
 
     def remove_edges(self, eids, etype):
         etype = self._et(etype)
@@ -222,6 +263,10 @@ class HeteroGraphShim:
     def ndata(self):
         return _NDataView(self)
 
+    # hetero srcdata/dstdata address the same node frames as ndata
+    srcdata = ndata
+    dstdata = ndata
+
     @property
     def nodes(self):
         g = self
@@ -246,21 +291,42 @@ class HeteroGraphShim:
     # ---- message passing
     def apply_edges(self, func, etype=None):
         etype = self._et(etype)
+        s_nt, _, d_nt = self._canonical[etype]
+        u, v = self._edges[etype]
         if isinstance(func, _USubV):
-            s_nt, _, d_nt = self._canonical[etype]
-            u, v = self._edges[etype]
             out = self._ndata[s_nt][func.u][u] - self._ndata[d_nt][func.v][v]
             self._edata[etype][func.out] = out
+        elif isinstance(func, _UDotV):
+            a = self._ndata[s_nt][func.u][u]
+            b = self._ndata[d_nt][func.v][v]
+            self._edata[etype][func.out] = (a * b).sum(-1, keepdim=True)
+        elif isinstance(func, _VMulE):
+            self._edata[etype][func.out] = _feat_mul(
+                self._ndata[d_nt][func.v][v], self._edata[etype][func.e])
         else:
             ret = func(_EdgeBatch(self, etype))
             self._edata[etype].update(ret)
 
+    def _messages(self, et, msg_fn):
+        """Evaluate a builtin message function over one etype -> (E, ...)."""
+        s_nt, _, d_nt = self._canonical[et]
+        u, v = self._edges[et]
+        if isinstance(msg_fn, _CopyE):
+            return self._edata[et][msg_fn.e], msg_fn.m
+        if isinstance(msg_fn, _CopyU):
+            return self._ndata[s_nt][msg_fn.u][u], msg_fn.m
+        if isinstance(msg_fn, _UMulE):
+            return _feat_mul(self._ndata[s_nt][msg_fn.u][u], self._edata[et][msg_fn.e]), msg_fn.out
+        if isinstance(msg_fn, _VMulE):
+            return _feat_mul(self._ndata[d_nt][msg_fn.v][v], self._edata[et][msg_fn.e]), msg_fn.out
+        raise NotImplementedError(type(msg_fn))
+
     def _reduce_one(self, et, msg_fn, red_fn):
-        """copy_e + sum/mean over one etype -> (dst ntype, field, tensor)."""
-        assert isinstance(msg_fn, _CopyE) and isinstance(red_fn, (_SumRed, _MeanRed))
+        """builtin message + sum/mean reduce -> (dst ntype, field, tensor)."""
+        assert isinstance(red_fn, (_SumRed, _MeanRed))
         _, _, d_nt = self._canonical[et]
         _, v = self._edges[et]
-        msg = self._edata[et][msg_fn.e]
+        msg, _ = self._messages(et, msg_fn)
         agg = torch.zeros((self._n[d_nt],) + msg.shape[1:], dtype=msg.dtype)
         agg.index_add_(0, v, msg)
         if isinstance(red_fn, _MeanRed):
@@ -271,7 +337,29 @@ class HeteroGraphShim:
         return d_nt, red_fn.out, agg
 
     def update_all(self, msg_fn, red_fn, etype=None):
-        d_nt, field, agg = self._reduce_one(self._et(etype), msg_fn, red_fn)
+        et = self._et(etype)
+        if callable(red_fn) and not isinstance(red_fn, (_SumRed, _MeanRed)):
+            # custom reduce via a uniform-degree mailbox, as DGL degree
+            # bucketing provides: messages grouped per dst in edge order
+            _, _, d_nt = self._canonical[et]
+            _, v = self._edges[et]
+            msg, mfield = self._messages(et, msg_fn)
+            order = torch.argsort(v, stable=True)
+            v_sorted = v[order]
+            deg = torch.bincount(v, minlength=self._n[d_nt])
+            nz = deg[deg > 0]
+            assert nz.numel() and (nz == nz[0]).all(), "mailbox needs uniform degree"
+            k = int(nz[0])
+            dst_nodes = v_sorted.reshape(-1, k)[:, 0]
+            mailbox = msg[order].reshape((-1, k) + msg.shape[1:])
+            nodes = types.SimpleNamespace(mailbox={mfield: mailbox})
+            ret = red_fn(nodes)
+            for field, val in ret.items():
+                full = torch.zeros((self._n[d_nt],) + val.shape[1:], dtype=val.dtype)
+                full[dst_nodes] = val
+                self._ndata[d_nt][field] = full
+            return
+        d_nt, field, agg = self._reduce_one(et, msg_fn, red_fn)
         self._ndata[d_nt][field] = agg
 
     def multi_update_all(self, etype_dict, cross_reducer="sum"):
@@ -358,9 +446,35 @@ def tc_radius_graph(x, r, batch=None, loop=False, max_num_neighbors=32):
     return torch.stack([torch.tensor(src, dtype=torch.long), torch.tensor(dst, dtype=torch.long)])
 
 
+def dgl_readout_nodes(g, field=None, op="mean", ntype=None, feat=None):
+    """Per-graph readout over one ntype using the batch bookkeeping.
+    DGL's signature is readout_nodes(graph, feat, ...); the positional arg
+    and the keyword spelling both appear in the reference."""
+    vals = g._ndata[ntype][feat if feat is not None else field]
+    sizes = g.batch_num_nodes(ntype).tolist()
+    outs = []
+    start = 0
+    for n in sizes:
+        seg = vals[start:start + n]
+        outs.append(seg.mean(0) if op == "mean" else seg.sum(0))
+        start += n
+    return torch.stack(outs, dim=0)
+
+
+def segment_csr(src, indptr, reduce="sum"):
+    """torch_scatter.segment_csr: segment-reduce src along dim 0."""
+    assert reduce == "sum"
+    outs = []
+    for i in range(indptr.shape[0] - 1):
+        outs.append(src[indptr[i]:indptr[i + 1]].sum(0))
+    return torch.stack(outs, dim=0)
+
+
 # -------------------------------------------------------------------- loading
-_SHIM_MODULES = ["dgl", "dgl.function", "torch_cluster", "openbabel"]
-_REF_MODULES = ["utils", "models", "models.dynamics", "models.gvp", "models.dynamics_gvp"]
+_SHIM_MODULES = ["dgl", "dgl.function", "dgl.nn", "dgl.nn.functional",
+                 "torch_cluster", "torch_scatter", "openbabel"]
+_REF_MODULES = ["utils", "models", "models.dynamics", "models.gvp",
+                "models.dynamics_gvp", "models.receptor_encoder"]
 
 
 def load_reference_dynamics():
@@ -383,6 +497,14 @@ def load_reference_module(modname):
     dgl_mod.function = _make_fn_module()
     dgl_mod.DGLHeteroGraph = HeteroGraphShim  # type annotation target only
     dgl_mod.DGLGraph = HeteroGraphShim
+    dgl_mod.readout_nodes = dgl_readout_nodes
+    dgl_mod.nn = types.ModuleType("dgl.nn")
+    dgl_mod.nn.functional = types.ModuleType("dgl.nn.functional")
+
+    def _edge_softmax(*a, **k):  # imported top-level; used only by the
+        raise NotImplementedError  # reference's NotImplemented KeyKeyConv
+
+    dgl_mod.nn.functional.edge_softmax = _edge_softmax
 
     tcl = types.ModuleType("torch_cluster")
     tcl.knn = tc_knn
@@ -390,9 +512,15 @@ def load_reference_module(modname):
     tcl.radius = tc_radius
     tcl.radius_graph = tc_radius_graph
 
+    tsc = types.ModuleType("torch_scatter")
+    tsc.segment_csr = segment_csr
+
     sys.modules["dgl"] = dgl_mod
     sys.modules["dgl.function"] = dgl_mod.function
+    sys.modules["dgl.nn"] = dgl_mod.nn
+    sys.modules["dgl.nn.functional"] = dgl_mod.nn.functional
     sys.modules["torch_cluster"] = tcl
+    sys.modules["torch_scatter"] = tsc
     sys.modules["openbabel"] = types.ModuleType("openbabel")
 
     for m in _REF_MODULES:

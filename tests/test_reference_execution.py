@@ -201,6 +201,182 @@ def test_reference_gvp_dynamics_execution_parity(message_norm):
 
 
 @pytest.mark.slow
+def test_reference_egnn_encoder_execution_parity():
+    """The reference's own models/receptor_encoder.py (ReceptorConv +
+    RecKeyConv attention positioning + k_closest feats) executed through
+    the shim vs our learned EGNN encoder with converted weights. Exercises
+    the encoder-side DGL surface: u_dot_v/v_mul_e/u_mul_e/copy_u builtins,
+    segment_csr softmax denominators, custom mailbox reduce
+    (collect_dists), readout_nodes, and the remove+re-add rk edge flow.
+
+    Matching requires attn_semantics='executed': the reference's keypoint
+    'softmax' never writes the scaled/exponentiated logits back to the
+    edges (receptor_encoder.py:201-210 operate on locals), so the executed
+    attention numerator is the RAW dot product — found by this very test."""
+    from kpdiff_tpu.models.complex import synthetic_batch
+    from kpdiff_tpu.utils.torch_import import convert_egnn_encoder_state_dict
+    from tests.refexec import load_reference_module, tc_radius_graph
+
+    enc_mod = load_reference_module("models.receptor_encoder")
+
+    IN_F, HID, N_CONVS_E, N_KP, K_CLOSEST, RR_CUT = 6, 12, 2, 4, 3, 4.0
+    torch.manual_seed(1)
+    rng = np.random.default_rng(1)
+    N = 14
+    x0 = torch.tensor(rng.normal(size=(N, 3)) * 2.5, dtype=torch.float32)
+    h0 = torch.tensor(rng.normal(size=(N, IN_F)), dtype=torch.float32)
+    res_idx = torch.tensor(rng.integers(0, 4, size=N))
+
+    enc = enc_mod.ReceptorEncoder(
+        n_convs=N_CONVS_E, n_keypoints=N_KP, graph_cutoffs={"kk": 8.0},
+        in_n_node_feat=IN_F, use_sameres_feat=True, hidden_n_node_feat=HID,
+        out_n_node_feat=HID, use_tanh=True, coords_range=10, kp_feat_scale=1,
+        message_norm=0, kp_rad=0.0, k_closest=K_CLOSEST, norm=True,
+        fix_pos=False,
+    )
+
+    g = HeteroGraphShim(
+        num_nodes={"rec": N, "kp": N_KP},
+        etypes={"rr": ("rec", "rec"), "rk": ("rec", "kp"), "kk": ("kp", "kp")},
+    )
+    rr = tc_radius_graph(x0, RR_CUT, max_num_neighbors=N)
+    g.add_edges(rr[0], rr[1], etype="rr")
+    g.edges["rr"].data["same_res"] = (res_idx[rr[0]] == res_idx[rr[1]]).float()[:, None]
+    # initial rk edges: complete bipartite, kp-major order (the processing
+    # pipeline connects every keypoint to every receptor atom; the
+    # segment_csr denominator at receptor_encoder.py:204-208 assumes it)
+    rk_rec = torch.arange(N).repeat(N_KP)
+    rk_kp = torch.arange(N_KP).repeat_interleave(N)
+    g.add_edges(rk_rec, rk_kp, etype="rk")
+    g.nodes["rec"].data["h_0"] = h0
+    g.nodes["rec"].data["x_0"] = x0
+    g.set_batch_num_nodes({"rec": torch.tensor([N]), "kp": torch.tensor([N_KP])})
+    g.set_batch_num_edges({("rec", "rr", "rec"): torch.tensor([rr.shape[1]]),
+                           ("rec", "rk", "kp"): torch.tensor([N * N_KP]),
+                           ("kp", "kk", "kp"): torch.tensor([0])})
+
+    with torch.no_grad():
+        g_out = enc(g, {"rec": torch.zeros(N, dtype=torch.long),
+                        "kp": torch.zeros(N_KP, dtype=torch.long)})
+    kp_pos_t = g_out.nodes["kp"].data["x_0"]
+    kp_feat_t = g_out.nodes["kp"].data["h_0"]
+
+    sd = {k: v.detach().numpy() for k, v in enc.state_dict().items()}
+    enc_params = convert_egnn_encoder_state_dict(
+        sd, n_convs=N_CONVS_E, hidden=HID, out_feat=HID, in_feat=IN_F,
+        use_sameres_feat=True, fix_pos=False, norm=True,
+    )
+
+    cfg = DiffusionConfig(
+        atom_nf=5, rec_nf=HID, n_timesteps=10, rec_encoder_type="learned",
+        graph_cutoffs={"rr": RR_CUT, "rk": 100, "kk": 8, "kl": 8, "ll": 5},
+        dynamics=dict(n_layers=1, hidden_nf=8, kl_k=2),
+        rec_encoder=dict(
+            n_keypoints=N_KP, in_n_node_feat=IN_F, hidden_n_node_feat=HID,
+            out_n_node_feat=HID, n_convs=N_CONVS_E, use_tanh=True,
+            message_norm=0, k_closest=K_CLOSEST, kp_rad=0.0, norm=True,
+            fix_pos=False, use_sameres_feat=True,
+            # the reference's executed keypoint attention is NOT a softmax:
+            # receptor_encoder.py:201-210 exp/scale only locals, so the
+            # numerator stays the raw dot (encoder_egnn.py attn_semantics)
+            attn_semantics="executed",
+        ),
+    )
+    model = KeypointDiffusion(cfg)
+    cpx = synthetic_batch(0, batch=1, n_rec_pad=N, n_lig_pad=6, n_rec_feat=IN_F,
+                          n_lig_feat=5, n_kp=N_KP, kp_feat_dim=HID, min_rec=N, min_lig=6)
+    cpx = cpx.replace(
+        rec_x=jnp.asarray(x0.numpy())[None],
+        rec_h=jnp.asarray(h0.numpy())[None],
+        rec_res_idx=jnp.asarray(res_idx.numpy().astype(np.int32))[None],
+    )
+    enc_j, _ = model.encode({"encoder": jax.tree_util.tree_map(jnp.asarray, enc_params)}, cpx)
+
+    np.testing.assert_allclose(np.asarray(enc_j.kp_x)[0], kp_pos_t.numpy(), rtol=5e-4, atol=5e-5)
+    np.testing.assert_allclose(np.asarray(enc_j.kp_h)[0], kp_feat_t.numpy(), rtol=5e-4, atol=5e-5)
+
+
+@pytest.mark.slow
+def test_reference_gvp_encoder_execution_parity():
+    """The reference's own models/receptor_encoder_gvp.py executed through
+    the shim vs our GVP encoder with converted weights. The keypoint
+    attention requires attn_semantics='executed' — the GVP
+    KeypointInitializer has the SAME lost exp/scale as the EGNN RecKeyConv
+    (receptor_encoder_gvp.py:71-81)."""
+    from kpdiff_tpu.models.complex import synthetic_batch
+    from kpdiff_tpu.utils.torch_import import convert_gvp_encoder_state_dict
+    from tests.refexec import load_reference_module, tc_radius_graph
+
+    enc_mod = load_reference_module("models.receptor_encoder_gvp")
+
+    IN_F, S, V, N_KP, K_CLOSEST = 6, 10, 3, 4, 3
+    N_RR, N_RK, N_MSG, N_UPD = 2, 2, 2, 1
+    RR_CUT, RK_RBF_DMAX = 4.0, 100.0
+    torch.manual_seed(5)
+    rng = np.random.default_rng(5)
+    N = 12
+    x0 = torch.tensor(rng.normal(size=(N, 3)) * 2.5, dtype=torch.float32)
+    h0 = torch.tensor(rng.normal(size=(N, IN_F)), dtype=torch.float32)
+
+    enc = enc_mod.ReceptorEncoderGVP(
+        in_scalar_size=IN_F, out_scalar_size=S, n_message_gvps=N_MSG,
+        n_update_gvps=N_UPD, vector_size=V, n_rr_convs=N_RR, n_rk_convs=N_RK,
+        message_norm=10.0, use_sameres_feat=False, kp_rad=0,
+        k_closest=K_CLOSEST, dropout=0.0, n_keypoints=N_KP,
+        graph_cutoffs={"rr": RR_CUT, "rk": RK_RBF_DMAX, "kk": 8.0},
+    ).eval()
+
+    g = HeteroGraphShim(
+        num_nodes={"rec": N, "kp": N_KP},
+        etypes={"rr": ("rec", "rec"), "rk": ("rec", "kp"), "kk": ("kp", "kp")},
+    )
+    rr = tc_radius_graph(x0, RR_CUT, max_num_neighbors=N)
+    g.add_edges(rr[0], rr[1], etype="rr")
+    g.add_edges(torch.arange(N).repeat(N_KP), torch.arange(N_KP).repeat_interleave(N),
+                etype="rk")  # initial rk: complete bipartite, kp-major
+    g.nodes["rec"].data["h_0"] = h0
+    g.nodes["rec"].data["x_0"] = x0
+    g.set_batch_num_nodes({"rec": torch.tensor([N]), "kp": torch.tensor([N_KP])})
+    g.set_batch_num_edges({("rec", "rr", "rec"): torch.tensor([rr.shape[1]]),
+                           ("rec", "rk", "kp"): torch.tensor([N * N_KP]),
+                           ("kp", "kk", "kp"): torch.tensor([0])})
+
+    with torch.no_grad():
+        g_out = enc(g, {"rec": torch.zeros(N, dtype=torch.long),
+                        "kp": torch.zeros(N_KP, dtype=torch.long)})
+    kp_pos_t = g_out.nodes["kp"].data["x_0"]
+    kp_h_t = g_out.nodes["kp"].data["h_0"]
+    kp_v_t = g_out.nodes["kp"].data["v_0"]
+
+    sd = {k: v.detach().numpy() for k, v in enc.state_dict().items()}
+    enc_params = convert_gvp_encoder_state_dict(sd, N_RR, N_RK, N_MSG, N_UPD)
+
+    cfg = DiffusionConfig(
+        atom_nf=5, rec_nf=S, n_timesteps=10, architecture="gvp",
+        rec_encoder_type="learned",
+        graph_cutoffs={"rr": RR_CUT, "rk": RK_RBF_DMAX, "kk": 8, "kl": 8, "ll": 5},
+        dynamics=dict(vector_size=V, n_convs=1, n_hidden_scalars=8, kl_k=2,
+                      n_message_gvps=1, n_update_gvps=1, n_noise_gvps=2),
+        rec_encoder=dict(
+            in_scalar_size=IN_F, n_keypoints=N_KP, out_scalar_size=S,
+            vector_size=V, n_rr_convs=N_RR, n_rk_convs=N_RK, message_norm=10.0,
+            k_closest=K_CLOSEST, kp_rad=0, n_message_gvps=N_MSG,
+            n_update_gvps=N_UPD, dropout=0.0, attn_semantics="executed",
+        ),
+    )
+    model = KeypointDiffusion(cfg)
+    cpx = synthetic_batch(0, batch=1, n_rec_pad=N, n_lig_pad=6, n_rec_feat=IN_F,
+                          n_lig_feat=5, n_kp=N_KP, kp_feat_dim=S, kp_vec_dim=V,
+                          min_rec=N, min_lig=6)
+    cpx = cpx.replace(rec_x=jnp.asarray(x0.numpy())[None], rec_h=jnp.asarray(h0.numpy())[None])
+    enc_j, _ = model.encode({"encoder": jax.tree_util.tree_map(jnp.asarray, enc_params)}, cpx)
+
+    np.testing.assert_allclose(np.asarray(enc_j.kp_x)[0], kp_pos_t.numpy(), rtol=5e-4, atol=5e-5)
+    np.testing.assert_allclose(np.asarray(enc_j.kp_h)[0], kp_h_t.numpy(), rtol=5e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(enc_j.kp_v)[0], kp_v_t.numpy(), rtol=5e-4, atol=1e-4)
+
+
+@pytest.mark.slow
 def test_reference_z_normalization_is_a_lost_write():
     """The two candidate ndata semantics must DISAGREE under message_norm=0
     (otherwise the z_semantics knob is untestable dead code)."""
