@@ -1,8 +1,8 @@
-"""Golden-fixture parity: kpdiff_tpu outputs vs frozen outputs of the
-independent torch reimplementations of the reference modules — runs
-WITHOUT torch (VERDICT r1 item 6). Regenerate fixtures with
-`python -m tests.golden.generate` (requires torch; adapt it to drive the
-actual dgl reference if such an environment is ever available)."""
+"""Golden-fixture parity: kpdiff_tpu outputs vs frozen outputs of (a) the
+independent torch reimplementations and (b) the REFERENCE'S OWN modules
+executed through tests/refexec.py (the refexec_* fixtures) — runs WITHOUT
+torch (VERDICT r1 item 6). Regenerate with `python -m tests.golden.generate`
+(requires torch)."""
 import pathlib
 
 import numpy as np
