@@ -3,15 +3,18 @@
 dgl / torch_cluster cannot be installed here, so golden parity has so far
 been checked against same-author torch reimplementations (VERDICT r2,
 "What's missing" #3). This module closes most of that gap: it provides a
-minimal first-party emulation of exactly the DGL + torch_cluster API
-surface that `/root/reference/models/dynamics.py` touches, so the
-reference module itself (not a reimplementation) can be imported and
-executed for parity tests.
+minimal first-party emulation of exactly the DGL + torch_cluster +
+torch_scatter API surface that the reference's model files touch
+(models/dynamics.py, dynamics_gvp.py + gvp.py, receptor_encoder.py,
+receptor_encoder_gvp.py), so the reference modules themselves (not
+reimplementations) can be imported and executed for parity tests.
 
 The shim is NOT a DGL reimplementation — only the container semantics
-the reference file uses: heterograph node/edge data dicts, apply_edges
-with `dgl.function` builtins or Python callables, multi_update_all with
-sum reduction, local_scope, add/remove_edges, and batch bookkeeping.
+those files use: heterograph node/edge data views, apply_edges with
+`dgl.function` builtins or Python callables, update_all /
+multi_update_all (sum/mean reducers and custom mailbox reduce fns),
+local_scope, add/remove_edges, batch bookkeeping, readout_nodes, and
+segment_csr.
 
 One semantic is genuinely ambiguous without real DGL on hand:
 `graph.ndata[field]` on a multi-ntype heterograph. In DGL's view.py,
