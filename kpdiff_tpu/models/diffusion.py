@@ -270,8 +270,19 @@ class KeypointDiffusion:
 
     # ------------------------------------------------------------------ loss
 
-    def loss(self, params: Dict[str, Any], rng: jax.Array, cpx: PaddedComplex) -> Dict[str, jnp.ndarray]:
-        """Training losses; mirrors reference forward (ligand_diffuser.py:89-175)."""
+    def loss(
+        self,
+        params: Dict[str, Any],
+        rng: jax.Array,
+        cpx: PaddedComplex,
+        t_eps_override: Optional[Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]] = None,
+    ) -> Dict[str, jnp.ndarray]:
+        """Training losses; mirrors reference forward (ligand_diffuser.py:89-175).
+
+        `t_eps_override` = (t_int (B,), eps_x (B,N,3), eps_h (B,N,F)) replaces
+        the internal draws — the chain-parity seam that lets the loss be
+        evaluated on the exact timesteps/noise fed to the reference's forward
+        (tests/test_reference_chain.py). Training never sets it."""
         cfg = self.cfg
         b = cpx.batch_size
 
@@ -302,10 +313,15 @@ class KeypointDiffusion:
 
         # per-graph timestep and noise (ligand_diffuser.py:121-128)
         k_t, k_ex, k_eh, k_drop_dyn = jax.random.split(rng, 4)
-        t_int = jax.random.randint(k_t, (b,), 0, cfg.n_timesteps)
+        if t_eps_override is not None:
+            t_int, eps_x, eps_h = t_eps_override
+            eps_x = eps_x * lm
+            eps_h = eps_h * lm
+        else:
+            t_int = jax.random.randint(k_t, (b,), 0, cfg.n_timesteps)
+            eps_x = jax.random.normal(k_ex, cpx.lig_x.shape) * lm
+            eps_h = jax.random.normal(k_eh, cpx.lig_h.shape) * lm
         t = t_int.astype(jnp.float32) / cfg.n_timesteps
-        eps_x = jax.random.normal(k_ex, cpx.lig_x.shape) * lm
-        eps_h = jax.random.normal(k_eh, cpx.lig_h.shape) * lm
 
         gamma_t = self.schedule.gamma(t)
         alpha_t = alpha_from_gamma(gamma_t)[:, None, None]
@@ -393,6 +409,7 @@ class KeypointDiffusion:
         init_com: Optional[jnp.ndarray] = None,
         return_every: int = 0,
         sample_steps: int = 0,
+        noise: Optional[Dict[str, jnp.ndarray]] = None,
     ):
         """Reverse diffusion from encoded receptors; one lax.scan over T steps
         (reference loop: ligand_diffuser.py:342-469,497-538).
@@ -407,6 +424,14 @@ class KeypointDiffusion:
         (sigma_and_alpha_t_given_s) is exact for ANY t > s, so this is the
         standard subsampled-DDPM sampler — ~T/K x faster at some sample
         quality cost. 0 (default) = the reference's full T-step chain.
+
+        `noise`: optional pre-drawn gaussians replacing every internal draw —
+        the chain-parity seam (tests/test_reference_chain.py) that lets this
+        sampler consume the exact same noise sequence as the reference's
+        torch.randn calls (ligand_diffuser.py:366-367,530-531). Keys:
+        init_x (B,N,3), init_h (B,N,F), steps_x (K,B,N,3), steps_h (K,B,N,F),
+        where K = number of ancestral steps (steps_* row i is consumed at the
+        i-th scan step, i.e. t = T-i for the full chain). CLIs never set it.
 
         Returns dict with lig_x, lig_h (unnormalized, input frame), kp_x, and
         optionally trajectory frames every `return_every` steps.
@@ -426,8 +451,12 @@ class KeypointDiffusion:
         kp_x = (cpx.kp_x - init_com[:, None]) * km
 
         k_init_x, k_init_h, k_scan = jax.random.split(rng, 3)
-        lig_x = jax.random.normal(k_init_x, cpx.lig_x.shape) * lm
-        lig_h = jax.random.normal(k_init_h, cpx.lig_h.shape) * lm
+        if noise is not None:
+            lig_x = noise["init_x"] * lm
+            lig_h = noise["init_h"] * lm
+        else:
+            lig_x = jax.random.normal(k_init_x, cpx.lig_x.shape) * lm
+            lig_h = jax.random.normal(k_init_h, cpx.lig_h.shape) * lm
 
         com = masked_com(lig_x, cpx.lig_mask)
         lig_x = (lig_x - com[:, None]) * lm
@@ -435,7 +464,8 @@ class KeypointDiffusion:
 
         T = cfg.n_timesteps
 
-        def step(carry, ts):
+        def step(carry, xs):
+            ts, step_noise = xs
             lig_x, lig_h, kp_x, key = carry
             key, k_nx, k_nh = jax.random.split(key, 3)
             s_arr = jnp.full((b,), ts[1], jnp.float32) / T
@@ -458,8 +488,13 @@ class KeypointDiffusion:
             mu_h = lig_h / a_ts - var_term * eps_h
             sigma = (sigma_ts * sigma_s / sigma_t)[:, None, None]
 
-            lig_x = (mu_x + sigma * jax.random.normal(k_nx, lig_x.shape)) * lm
-            lig_h = (mu_h + sigma * jax.random.normal(k_nh, lig_h.shape)) * lm
+            if step_noise is not None:
+                n_x, n_h = step_noise
+            else:
+                n_x = jax.random.normal(k_nx, lig_x.shape)
+                n_h = jax.random.normal(k_nh, lig_h.shape)
+            lig_x = (mu_x + sigma * n_x) * lm
+            lig_h = (mu_h + sigma * n_h) * lm
 
             com = masked_com(lig_x, cpx.lig_mask)
             lig_x = (lig_x - com[:, None]) * lm
@@ -478,7 +513,8 @@ class KeypointDiffusion:
         else:
             grid = jnp.arange(T, -1, -1)
         steps = jnp.stack([grid[:-1], grid[1:]], axis=1)  # (K, 2) pairs t > s, ending at s=0
-        (lig_x, lig_h, kp_x, _), frames = jax.lax.scan(step, (lig_x, lig_h, kp_x, k_scan), steps)
+        xs = (steps, (noise["steps_x"], noise["steps_h"]) if noise is not None else None)
+        (lig_x, lig_h, kp_x, _), frames = jax.lax.scan(step, (lig_x, lig_h, kp_x, k_scan), xs)
 
         # back to the input frame (ligand_diffuser.py:437-447)
         kp_com = masked_com(kp_x, cpx.kp_mask)

@@ -198,8 +198,65 @@ class HeteroGraphShim:
     def canonical_etypes(self):
         return list(self._canonical.values())
 
-    def num_nodes(self, ntype):
+    def num_nodes(self, ntype=None):
+        if ntype is None:
+            return sum(self._n.values())
         return self._n[ntype]
+
+    def to(self, device):
+        # CPU-only shim; .to('cpu') in the sampling loop is a no-op
+        return self
+
+    def add_nodes(self, num, data=None, ntype=None):
+        """Append `num` nodes of `ntype` with optional features; fields not
+        provided are zero-padded, fields only provided get zero-padded
+        history (DGL semantics). Batch bookkeeping is the caller's job (the
+        fixed encoder sets it explicitly, receptor_encoder_fixed.py:47-64)."""
+        num = int(num)
+        old = self._n[ntype]
+        self._n[ntype] = old + num
+        nd = self._ndata[ntype]
+        data = data or {}
+        for k in set(nd) | set(data):
+            if k in data:
+                rows = data[k]
+            else:
+                t = nd[k]
+                rows = torch.zeros((num,) + t.shape[1:], dtype=t.dtype)
+            if k in nd:
+                nd[k] = torch.cat([nd[k], rows]) if old else rows
+            else:
+                head = torch.zeros((old,) + rows.shape[1:], dtype=rows.dtype)
+                nd[k] = torch.cat([head, rows]) if old else rows
+
+    def remove_nodes(self, nids, ntype=None):
+        """Remove nodes, drop incident edges, reindex survivors. Feature
+        schemes persist as 0-row tensors (DGL keeps schemes, so e.g. the
+        loss 'none' branch can still read dtype of an emptied ntype)."""
+        nids = torch.as_tensor(nids, dtype=torch.long)
+        n = self._n[ntype]
+        keep = torch.ones(n, dtype=torch.bool)
+        keep[nids] = False
+        new_ids = torch.full((n,), -1, dtype=torch.long)
+        new_ids[keep] = torch.arange(int(keep.sum()))
+        self._n[ntype] = int(keep.sum())
+        self._ndata[ntype] = {k: t[keep] for k, t in self._ndata[ntype].items()}
+        for et, (s, _, d) in self._canonical.items():
+            if s != ntype and d != ntype:
+                continue
+            u, v = self._edges[et]
+            ekeep = torch.ones(u.shape[0], dtype=torch.bool)
+            if s == ntype:
+                ekeep &= keep[u]
+            if d == ntype:
+                ekeep &= keep[v]
+            u, v = u[ekeep], v[ekeep]
+            if s == ntype:
+                u = new_ids[u]
+            if d == ntype:
+                v = new_ids[v]
+            self._edges[et] = (u, v)
+            self._edata[et] = {k: t[ekeep] for k, t in self._edata[et].items()}
 
     def _et(self, etype):
         """Accept both the short string name and the canonical tuple."""
@@ -235,9 +292,14 @@ class HeteroGraphShim:
         g = self
 
         class _EdgesAccessor:
-            def __call__(self, form="eid", etype=None):
+            def __call__(self, form="uv", etype=None):
+                # DGL's default form is 'uv' (graph.edges(etype=...) returns
+                # (src, dst) — used by the fixed encoder and copy_graph)
+                u, v = g._edges[g._et(etype)]
+                if form == "uv":
+                    return u.clone(), v.clone()
                 assert form == "eid"
-                return torch.arange(g._edges[g._et(etype)][0].shape[0])
+                return torch.arange(u.shape[0])
 
             def __getitem__(self, etype):
                 view = types.SimpleNamespace()
@@ -277,6 +339,11 @@ class HeteroGraphShim:
         class _N:
             def __getitem__(self, nt):
                 return _NodesView(g, nt)
+
+            def __call__(self, nt):
+                # DGL's g.nodes(ntype) -> node id tensor (the fixed encoder
+                # feeds it straight into remove_nodes)
+                return torch.arange(g._n[nt])
 
         return _N()
 
@@ -449,6 +516,97 @@ def tc_radius_graph(x, r, batch=None, loop=False, max_num_neighbors=32):
     return torch.stack([torch.tensor(src, dtype=torch.long), torch.tensor(dst, dtype=torch.long)])
 
 
+def dgl_heterograph(data_dict, num_nodes_dict=None, device=None):
+    """dgl.heterograph: keys are canonical (src, etype, dst) tuples, values
+    are (u, v) edge tensors (copy_graph builds graphs this way,
+    utils.py:117-125). Batch bookkeeping defaults to a single graph."""
+    etypes = {et: (s, d) for (s, et, d) in data_dict}
+    g = HeteroGraphShim(dict(num_nodes_dict), etypes)
+    for (s, et, d), (u, v) in data_dict.items():
+        u = torch.as_tensor(u, dtype=torch.long)
+        v = torch.as_tensor(v, dtype=torch.long)
+        g._edges[et] = (u.clone(), v.clone())
+        g._batch_num_edges[(s, et, d)] = torch.tensor([u.shape[0]])
+    return g
+
+
+def dgl_batch(graphs):
+    """dgl.batch: concatenate nodes/edges per type with offsets; features
+    and batch bookkeeping concatenate in graph order."""
+    g0 = graphs[0]
+    out = HeteroGraphShim(
+        {nt: sum(g._n[nt] for g in graphs) for nt in g0._n},
+        {et: (s, d) for et, (s, _, d) in g0._canonical.items()},
+        ndata_writeback=g0.ndata_writeback,
+    )
+    for nt in g0._n:
+        for k in g0._ndata[nt]:
+            out._ndata[nt][k] = torch.cat([g._ndata[nt][k] for g in graphs])
+    for et, (s, _, d) in g0._canonical.items():
+        us, vs, off_s, off_d = [], [], 0, 0
+        for g in graphs:
+            u, v = g._edges[et]
+            us.append(u + off_s)
+            vs.append(v + off_d)
+            off_s += g._n[s]
+            off_d += g._n[d]
+        out._edges[et] = (torch.cat(us), torch.cat(vs))
+        for k in g0._edata[et]:
+            out._edata[et][k] = torch.cat([g._edata[et][k] for g in graphs])
+    out._batch_num_nodes = {nt: torch.cat([g._batch_num_nodes[nt] for g in graphs])
+                            for nt in g0._n}
+    out._batch_num_edges = {ce: torch.cat([g._batch_num_edges[ce] for g in graphs])
+                            for ce in out._batch_num_edges}
+    out.batch_size = sum(g.batch_size for g in graphs)
+    return out
+
+
+def dgl_unbatch(g):
+    """dgl.unbatch: split by the batch bookkeeping; edge endpoints are
+    rebased onto each element's node numbering. Assumes edges are grouped
+    per batch element (true for graphs built via dgl_batch, and preserved by
+    the model code's manual set_batch_num_edges updates)."""
+    bs = g.batch_size
+    n_off = {nt: torch.cat([torch.zeros(1, dtype=torch.long),
+                            torch.cumsum(g._batch_num_nodes[nt], 0)]) for nt in g._n}
+    e_off = {ce: torch.cat([torch.zeros(1, dtype=torch.long),
+                            torch.cumsum(cnt, 0)]) for ce, cnt in g._batch_num_edges.items()}
+    outs = []
+    for i in range(bs):
+        sub = HeteroGraphShim(
+            {nt: int(g._batch_num_nodes[nt][i]) for nt in g._n},
+            {et: (s, d) for et, (s, _, d) in g._canonical.items()},
+            ndata_writeback=g.ndata_writeback,
+        )
+        for nt in g._n:
+            a, b = int(n_off[nt][i]), int(n_off[nt][i + 1])
+            sub._ndata[nt] = {k: t[a:b] for k, t in g._ndata[nt].items()}
+        for et, ce in g._canonical.items():
+            a, b = int(e_off[ce][i]), int(e_off[ce][i + 1])
+            u, v = g._edges[et]
+            s_nt, _, d_nt = ce
+            sub._edges[et] = (u[a:b] - int(n_off[s_nt][i]), v[a:b] - int(n_off[d_nt][i]))
+            sub._edata[et] = {k: t[a:b] for k, t in g._edata[et].items()}
+            sub._batch_num_edges[ce] = torch.tensor([b - a])
+        outs.append(sub)
+    return outs
+
+
+def ot_emd(a, b, M, numItermax=100000):
+    """POT's ot.emd backed by the repo's own exact EMD solver
+    (kpdiff_tpu/native/emd.cpp). The reference only calls it with uniform
+    marginals (rec_encoder_loss.py:12-15)."""
+    import numpy as np
+
+    from kpdiff_tpu.native.emd import exact_emd_plan
+
+    a = np.asarray(a)
+    b = np.asarray(b)
+    assert np.allclose(a, 1.0 / a.shape[0]) and np.allclose(b, 1.0 / b.shape[0]), \
+        "shim ot.emd only supports the uniform marginals the reference uses"
+    return exact_emd_plan(np.asarray(M, np.float64))
+
+
 def dgl_readout_nodes(g, field=None, op="mean", ntype=None, feat=None):
     """Per-graph readout over one ntype using the batch bookkeeping.
     DGL's signature is readout_nodes(graph, feat, ...); the positional arg
@@ -475,9 +633,12 @@ def segment_csr(src, indptr, reduce="sum"):
 
 # -------------------------------------------------------------------- loading
 _SHIM_MODULES = ["dgl", "dgl.function", "dgl.nn", "dgl.nn.functional",
-                 "torch_cluster", "torch_scatter", "openbabel"]
+                 "torch_cluster", "torch_scatter", "openbabel", "ot"]
 _REF_MODULES = ["utils", "models", "models.dynamics", "models.gvp",
-                "models.dynamics_gvp", "models.receptor_encoder"]
+                "models.dynamics_gvp", "models.receptor_encoder",
+                "models.receptor_encoder_gvp", "models.receptor_encoder_fixed",
+                "models.n_nodes_dist", "models.ligand_diffuser",
+                "losses", "losses.rec_encoder_loss", "losses.dist_hinge_loss"]
 
 
 def load_reference_dynamics():
@@ -500,7 +661,10 @@ def load_reference_module(modname):
     dgl_mod.function = _make_fn_module()
     dgl_mod.DGLHeteroGraph = HeteroGraphShim  # type annotation target only
     dgl_mod.DGLGraph = HeteroGraphShim
+    dgl_mod.heterograph = dgl_heterograph
     dgl_mod.readout_nodes = dgl_readout_nodes
+    dgl_mod.batch = dgl_batch
+    dgl_mod.unbatch = dgl_unbatch
     dgl_mod.nn = types.ModuleType("dgl.nn")
     dgl_mod.nn.functional = types.ModuleType("dgl.nn.functional")
 
@@ -518,6 +682,15 @@ def load_reference_module(modname):
     tsc = types.ModuleType("torch_scatter")
     tsc.segment_csr = segment_csr
 
+    def _segment_coo(*a, **k):  # imported by ligand_diffuser.py:11, unused
+        raise NotImplementedError("segment_coo is never reached by the "
+                                  "reference paths the chain tests execute")
+
+    tsc.segment_coo = _segment_coo
+
+    ot_mod = types.ModuleType("ot")
+    ot_mod.emd = ot_emd
+
     sys.modules["dgl"] = dgl_mod
     sys.modules["dgl.function"] = dgl_mod.function
     sys.modules["dgl.nn"] = dgl_mod.nn
@@ -525,6 +698,7 @@ def load_reference_module(modname):
     sys.modules["torch_cluster"] = tcl
     sys.modules["torch_scatter"] = tsc
     sys.modules["openbabel"] = types.ModuleType("openbabel")
+    sys.modules["ot"] = ot_mod
 
     for m in _REF_MODULES:
         sys.modules.pop(m, None)
