@@ -431,6 +431,10 @@ def refexec_gvp_encoder_case():
 
 
 def main():
+    # whole-chain cases (reference KeypointDiffusion end-to-end through the
+    # shim on injected noise — see tests/test_reference_chain.py)
+    from tests.test_reference_chain import CHAIN_BUILDERS
+
     cases = {
         "egnn_dynamics_mn1": egnn_dynamics_case(1.0),
         "egnn_dynamics_mn0": egnn_dynamics_case(0),
@@ -443,6 +447,8 @@ def main():
         "refexec_gvp_dynamics_mn10": refexec_gvp_dynamics_case(),
         "refexec_gvp_encoder_executed": refexec_gvp_encoder_case(),
     }
+    for name, builder in CHAIN_BUILDERS.items():
+        cases[name] = builder()
     for name, case in cases.items():
         path = OUT / f"{name}.npz"
         np.savez_compressed(path, **case)

@@ -53,6 +53,23 @@ def unflatten_case(npz):
     return str(npz["kind"]), meta, params, inputs, expected
 
 
+def _chain_complex(meta, inputs, cfg):
+    """PaddedComplex for the chain_* cases; ligand arrays default to zeros
+    (sampling overwrites them with the injected noise)."""
+    from kpdiff_tpu.models.complex import make_complex
+
+    lig_mask = inputs["lig_mask"].astype(bool)
+    b, n_pad = lig_mask.shape
+    lig_x = inputs.get("lig_x", np.zeros((b, n_pad, 3), np.float32))
+    lig_h = inputs.get("lig_h", np.zeros((b, n_pad, cfg.atom_nf), np.float32))
+    return make_complex(
+        inputs["rec_x"], inputs["rec_h"], inputs["rec_mask"].astype(bool),
+        lig_x, lig_h, lig_mask,
+        n_kp=meta["n_kp"], kp_feat_dim=meta["kp_feat_dim"],
+        kp_vec_dim=meta.get("kp_vec_dim"),
+    )
+
+
 def run_case(kind, meta, params, inputs):
     """Run the kpdiff_tpu side of a parity case; returns dict of outputs."""
     cfg = DiffusionConfig(**{k: (v if not isinstance(v, dict) else dict(v))
@@ -74,6 +91,27 @@ def run_case(kind, meta, params, inputs):
             jnp.full((1,), meta["t_val"]), kk, kp_v,
         )
         return {"eps_h": np.asarray(eps_h)[0], "eps_x": np.asarray(eps_x)[0]}
+
+    if kind == "chain_sample":
+        # whole sampling chain: encode -> T ancestral steps on injected noise
+        # (the torch-free replay of tests/test_reference_chain.py cases)
+        cpx = _chain_complex(meta, inputs, cfg)
+        enc, kk = model.encode(params, cpx)
+        noise = {k: jnp.asarray(inputs[k])
+                 for k in ("init_x", "init_h", "steps_x", "steps_h")}
+        init_com = jnp.asarray(inputs["init_com"]) if "init_com" in inputs else None
+        out = model.sample(params, jax.random.key(0), enc, kk,
+                           init_com=init_com, noise=noise)
+        return {"lig_x": np.asarray(out["lig_x"]), "lig_h": np.asarray(out["lig_h"])}
+
+    if kind == "chain_loss":
+        cpx = _chain_complex(meta, inputs, cfg)
+        losses = model.loss(
+            params, jax.random.key(0), cpx,
+            t_eps_override=(jnp.asarray(inputs["t_ints"].astype(np.int32)),
+                            jnp.asarray(inputs["eps_x"]),
+                            jnp.asarray(inputs["eps_h"])))
+        return {k: np.asarray(v) for k, v in losses.items()}
 
     if kind in ("egnn_encoder", "gvp_encoder"):
         x0 = inputs["rec_x"]

@@ -16,7 +16,9 @@ GOLDEN = sorted(pathlib.Path(__file__).parent.glob("golden/*.npz"))
 def test_fixture_set_complete():
     names = {p.stem for p in GOLDEN}
     assert {"egnn_dynamics_mn1", "egnn_dynamics_mn0", "egnn_encoder",
-            "gvp_dynamics_mean", "gvp_dynamics_mn10", "gvp_encoder"} <= names
+            "gvp_dynamics_mean", "gvp_dynamics_mn10", "gvp_encoder",
+            "refexec_chain_fixed_egnn", "refexec_chain_learned_egnn",
+            "refexec_chain_learned_gvp", "refexec_chain_loss_egnn"} <= names
 
 
 @pytest.mark.parametrize("path", GOLDEN, ids=[p.stem for p in GOLDEN])

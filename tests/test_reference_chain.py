@@ -11,26 +11,35 @@ loss assembly (l2/pos/feat + OT rec-encoder loss via our own exact EMD
 solver backing the `ot` stub).
 
 Mechanism: both sides consume the EXACT same gaussians — torch.randn /
-torch.randint are monkeypatched to pop from a pre-drawn queue while the
+torch.randint are patched to pop from a pre-drawn queue while the
 reference runs (ligand_diffuser.py:121-128,366-367,530-531), and our
 sampler/loss take the same arrays through the documented injection seams
 (`KeypointDiffusion.sample(noise=...)`, `.loss(t_eps_override=...)`).
 With identical weights (state_dict -> convert_reference_checkpoint) the
 chains must agree to f32 tolerance at every output.
+
+Each scenario is a CASE BUILDER returning the golden-fixture flat format
+(tests/parity_jax.flatten_case, kinds 'chain_sample' / 'chain_loss') so the
+same cases can be frozen torch-free into tests/golden/refexec_chain_*.npz
+(python -m tests.golden.generate) and replayed in the fast gate; the live
+tests here rebuild them against the actual reference execution.
 """
+import contextlib
+import io
 import pickle
+import tempfile
+from pathlib import Path
 
 import numpy as np
 import pytest
 import torch
 
 import jax
-import jax.numpy as jnp
 
-from kpdiff_tpu.models.complex import make_complex
 from kpdiff_tpu.models.diffusion import DiffusionConfig, KeypointDiffusion
 from kpdiff_tpu.utils.torch_import import convert_reference_checkpoint
 
+from tests.parity_jax import assert_case, flatten_case
 from tests.refexec import (
     HeteroGraphShim,
     dgl_batch,
@@ -47,6 +56,9 @@ LL_CUT = 6.0
 KL_K = 2
 N_KP = 4
 K_CLOSEST = 3
+SIZES = [6, 7]
+N_PAD = 8
+N_REC = 12
 
 ETYPES = {
     "rr": ("rec", "rec"),
@@ -56,6 +68,9 @@ ETYPES = {
     "lk": ("lig", "kp"),
     "ll": ("lig", "lig"),
 }
+
+GVP_S = 10
+GVP_V = 3
 
 
 # ------------------------------------------------------------------ helpers
@@ -83,16 +98,35 @@ class _RandnQueue:
         return t
 
 
+@contextlib.contextmanager
+def _patched_torch_rng(q):
+    orig_randn, orig_randint = torch.randn, torch.randint
+    torch.randn, torch.randint = q.randn, q.randint
+    try:
+        yield
+    finally:
+        torch.randn, torch.randint = orig_randn, orig_randint
+
+
 def _flat_rows(padded, sizes):
     """(B, N, d) padded -> ragged (sum sizes, d) in graph order."""
     return np.concatenate([np.asarray(padded)[i, :n] for i, n in enumerate(sizes)], axis=0)
 
 
+def _pad_rows(flat_list, n_pad):
+    """list of (n_i, d) tensors -> (B, n_pad, d) zero-padded."""
+    d = flat_list[0].shape[-1]
+    out = np.zeros((len(flat_list), n_pad, d), np.float32)
+    for i, t in enumerate(flat_list):
+        out[i, : t.shape[0]] = np.asarray(t)
+    return out
+
+
 def _sizedist_dir(tmp_path):
     joint = np.ones((4, 5)) / 20.0
-    with open(tmp_path / "train_n_node_joint_dist.pkl", "wb") as f:
+    with open(Path(tmp_path) / "train_n_node_joint_dist.pkl", "wb") as f:
         pickle.dump((joint, (10, 13), (4, 8)), f)
-    return tmp_path
+    return Path(tmp_path)
 
 
 def _pocket_graph(rec_x, rec_h, n_kp, lig_x=None, lig_h=None):
@@ -140,17 +174,6 @@ def _graph_cutoffs():
     return {"rr": RR_CUT, "rk": 100.0, "kk": 8.0, "kl": 8.0, "ll": LL_CUT}
 
 
-def _our_model(rec_nf, rec_encoder_type, rec_encoder=None, rec_encoder_loss=None):
-    return KeypointDiffusion(DiffusionConfig(
-        atom_nf=ATOM_NF, rec_nf=rec_nf, n_timesteps=T,
-        rec_encoder_type=rec_encoder_type,
-        graph_cutoffs=_graph_cutoffs(),
-        dynamics=_dyn_cfg(),
-        rec_encoder=rec_encoder or {},
-        rec_encoder_loss=rec_encoder_loss or {},
-    ))
-
-
 def _enc_cfg_ref():
     """Reference ReceptorEncoder kwargs (module-level parity settings)."""
     return dict(
@@ -167,6 +190,32 @@ def _enc_cfg_ours():
         out_n_node_feat=HID, n_convs=2, use_tanh=True, message_norm=1,
         k_closest=K_CLOSEST, kp_rad=0.0, norm=True, fix_pos=False,
         use_sameres_feat=False, attn_semantics="executed",
+    )
+
+
+def _gvp_dyn_cfg():
+    return dict(
+        vector_size=GVP_V, n_convs=2, n_hidden_scalars=12, message_norm=10.0,
+        update_kp=True, ll_k=0, kl_k=KL_K, n_message_gvps=2, n_update_gvps=1,
+        n_noise_gvps=2,
+    )
+
+
+def _gvp_enc_cfg_ref():
+    return dict(
+        in_scalar_size=ATOM_NF, out_scalar_size=GVP_S, n_message_gvps=2,
+        n_update_gvps=1, vector_size=GVP_V, n_rr_convs=2, n_rk_convs=2,
+        message_norm=10.0, use_sameres_feat=False, kp_rad=0,
+        k_closest=K_CLOSEST, dropout=0.0, n_keypoints=N_KP,
+    )
+
+
+def _gvp_enc_cfg_ours():
+    return dict(
+        in_scalar_size=ATOM_NF, n_keypoints=N_KP, out_scalar_size=GVP_S,
+        vector_size=GVP_V, n_rr_convs=2, n_rk_convs=2, message_norm=10.0,
+        k_closest=K_CLOSEST, kp_rad=0, n_message_gvps=2, n_update_gvps=1,
+        dropout=0.0, attn_semantics="executed",
     )
 
 
@@ -190,261 +239,169 @@ def _build_reference_model(tmp_path, rec_encoder_type, rec_nf,
     return model
 
 
-def _converted_params(ref_model, our_model):
+def _np_params(ref_model, our_model):
     sd = {k: v.detach().numpy() for k, v in ref_model.state_dict().items()}
-    params = convert_reference_checkpoint(sd, our_model)
-    return jax.tree_util.tree_map(jnp.asarray, params)
+    return convert_reference_checkpoint(sd, our_model)
 
 
-# -------------------------------------------------------------------- tests
-@pytest.mark.slow
-def test_sampling_chain_parity_fixed_egnn(tmp_path, monkeypatch):
-    """Fixed-encoder EGNN: T=8 reverse steps, 2 ligands (6 and 7 atoms) of
-    one pocket, same noise sequence — final positions/features must match
-    the reference's sample_from_encoded_receptors output.
+def _sampling_noise(rng):
+    return dict(
+        init_x=rng.normal(size=(2, N_PAD, 3)).astype(np.float32),
+        init_h=rng.normal(size=(2, N_PAD, ATOM_NF)).astype(np.float32),
+        steps_x=rng.normal(size=(T, 2, N_PAD, 3)).astype(np.float32),
+        steps_h=rng.normal(size=(T, 2, N_PAD, ATOM_NF)).astype(np.float32),
+    )
+
+
+def _queue_sampling_noise(q, noise):
+    q.push(_flat_rows(noise["init_x"], SIZES))
+    q.push(_flat_rows(noise["init_h"], SIZES))
+    for i in range(T):
+        q.push(_flat_rows(noise["steps_x"][i], SIZES))
+        q.push(_flat_rows(noise["steps_h"][i], SIZES))
+
+
+def _pocket_arrays(rng):
+    rec_x = torch.tensor(rng.normal(size=(N_REC, 3)) * 2.5, dtype=torch.float32)
+    rec_h = torch.tensor(rng.normal(size=(N_REC, ATOM_NF)), dtype=torch.float32)
+    lig_ref_x = torch.tensor(rng.normal(size=(5, 3)), dtype=torch.float32)
+    lig_ref_h = torch.tensor(rng.normal(size=(5, ATOM_NF)), dtype=torch.float32)
+    return rec_x, rec_h, lig_ref_x, lig_ref_h
+
+
+def _sampling_inputs(rec_x, rec_h, noise, init_com=None):
+    inputs = dict(
+        rec_x=np.broadcast_to(rec_x.numpy(), (2, N_REC, 3)).copy(),
+        rec_h=np.broadcast_to(rec_h.numpy(), (2, N_REC, ATOM_NF)).copy(),
+        rec_mask=np.ones((2, N_REC), bool),
+        lig_mask=np.array([[i < n for i in range(N_PAD)] for n in SIZES]),
+        **noise,
+    )
+    if init_com is not None:
+        inputs["init_com"] = np.asarray(init_com, np.float32)
+    return inputs
+
+
+# ------------------------------------------------------------ case builders
+def build_chain_fixed_egnn_case():
+    """Fixed-encoder EGNN sampling chain: T=8 reverse steps, 2 ligands
+    (6 and 7 atoms) of one pocket, via sample_from_encoded_receptors.
 
     The init frame is passed explicitly on both sides (init_lig_pos /
     init_com): the reference's default frame reads the rec-atom COM AFTER
     the fixed encoder emptied the rec ntype (ligand_diffuser.py:360 — a
-    mean over zero nodes), whose value is a DGL implementation detail we
-    cannot pin without real DGL."""
+    mean over zero nodes), whose value is a DGL implementation detail the
+    shim cannot pin (PARITY.md deviation 9)."""
     rng = np.random.default_rng(42)
-    n_rec = 12
-    rec_x = torch.tensor(rng.normal(size=(n_rec, 3)) * 2.5, dtype=torch.float32)
-    rec_h = torch.tensor(rng.normal(size=(n_rec, ATOM_NF)), dtype=torch.float32)
-    lig_ref_x = torch.tensor(rng.normal(size=(5, 3)), dtype=torch.float32)
-    lig_ref_h = torch.tensor(rng.normal(size=(5, ATOM_NF)), dtype=torch.float32)
-    sizes = [6, 7]
-    n_pad = 8
+    rec_x, rec_h, lig_ref_x, lig_ref_h = _pocket_arrays(rng)
+    noise = _sampling_noise(rng)
 
-    ref = _build_reference_model(tmp_path, "fixed", ATOM_NF)
-
-    # ---- pre-draw every gaussian in OUR padded layout
-    init_x = rng.normal(size=(2, n_pad, 3))
-    init_h = rng.normal(size=(2, n_pad, ATOM_NF))
-    steps_x = rng.normal(size=(T, 2, n_pad, 3))
-    steps_h = rng.normal(size=(T, 2, n_pad, ATOM_NF))
+    with tempfile.TemporaryDirectory() as td:
+        ref = _build_reference_model(td, "fixed", ATOM_NF)
+    utils_mod = load_reference_module("utils")
 
     q = _RandnQueue()
-    q.push(_flat_rows(init_x, sizes))
-    q.push(_flat_rows(init_h, sizes))
-    for i in range(T):
-        q.push(_flat_rows(steps_x[i], sizes))
-        q.push(_flat_rows(steps_h[i], sizes))
-    monkeypatch.setattr(torch, "randn", q.randn)
-
-    # ---- reference chain: encode -> copy per ligand size -> batch -> sample
-    utils_mod = load_reference_module("utils")
+    _queue_sampling_noise(q, noise)
     g = _pocket_graph(rec_x, rec_h, n_kp=0, lig_x=lig_ref_x, lig_h=lig_ref_h)
-    gb = dgl_batch([g])
-    gb = ref.encode_receptors(gb)
-    g_enc = dgl_unbatch(gb)[0]
-    copies = utils_mod.copy_graph(g_enc, n_copies=2, lig_atoms_per_copy=torch.tensor(sizes))
-    g2 = dgl_batch(copies)
     init_lig_pos = rec_x.mean(0, keepdim=True).repeat(2, 1)
-    with torch.no_grad():
+    with _patched_torch_rng(q), torch.no_grad():
+        gb = dgl_batch([g])
+        gb = ref.encode_receptors(gb)
+        g_enc = dgl_unbatch(gb)[0]
+        copies = utils_mod.copy_graph(g_enc, n_copies=2,
+                                      lig_atoms_per_copy=torch.tensor(SIZES))
+        g2 = dgl_batch(copies)
         lig_pos_t, lig_feat_t = ref.sample_from_encoded_receptors(
             g2, init_lig_pos=init_lig_pos)
     assert len(q.q) == 0, "reference consumed a different number of draws"
 
-    # ---- our chain with the converted weights and the same noise
-    ours = _our_model(ATOM_NF, "fixed")
-    params = _converted_params(ref, ours)
-
-    rec_xp = np.zeros((2, n_rec, 3), np.float32)
-    rec_hp = np.zeros((2, n_rec, ATOM_NF), np.float32)
-    rec_xp[:] = rec_x.numpy()
-    rec_hp[:] = rec_h.numpy()
-    lig_mask = np.zeros((2, n_pad), bool)
-    for i, n in enumerate(sizes):
-        lig_mask[i, :n] = True
-    cpx = make_complex(
-        rec_xp, rec_hp, np.ones((2, n_rec), bool),
-        np.zeros((2, n_pad, 3), np.float32), np.zeros((2, n_pad, ATOM_NF), np.float32),
-        lig_mask, n_kp=n_rec, kp_feat_dim=ATOM_NF,
+    config = dict(
+        atom_nf=ATOM_NF, rec_nf=ATOM_NF, n_timesteps=T,
+        rec_encoder_type="fixed", graph_cutoffs=_graph_cutoffs(),
+        dynamics=_dyn_cfg(),
     )
-    cpx_enc, kk = ours.encode(params, cpx)
-    out = ours.sample(
-        params, jax.random.key(0), cpx_enc, kk,
-        init_com=jnp.asarray(init_lig_pos.numpy()),
-        noise={"init_x": jnp.asarray(init_x, jnp.float32),
-               "init_h": jnp.asarray(init_h, jnp.float32),
-               "steps_x": jnp.asarray(steps_x, jnp.float32),
-               "steps_h": jnp.asarray(steps_h, jnp.float32)},
-    )
-
-    for i, n in enumerate(sizes):
-        np.testing.assert_allclose(
-            np.asarray(out["lig_x"])[i, :n], lig_pos_t[i].numpy(), rtol=1e-3, atol=2e-3)
-        np.testing.assert_allclose(
-            np.asarray(out["lig_h"])[i, :n], lig_feat_t[i].numpy(), rtol=1e-3, atol=2e-3)
+    meta = dict(config=config, n_kp=N_REC, kp_feat_dim=ATOM_NF,
+                rtol=1e-3, atol=2e-3)
+    params = _np_params(ref, KeypointDiffusion(DiffusionConfig(**config)))
+    inputs = _sampling_inputs(rec_x, rec_h, noise, init_com=init_lig_pos.numpy())
+    expected = {"lig_x": _pad_rows(lig_pos_t, N_PAD),
+                "lig_h": _pad_rows(lig_feat_t, N_PAD)}
+    return flatten_case("chain_sample", meta, params, inputs, expected)
 
 
-@pytest.mark.slow
-def test_sampling_chain_parity_learned_egnn_public_api(tmp_path, monkeypatch):
+def build_chain_learned_egnn_case():
     """Learned-encoder EGNN through the reference's PUBLIC entry point
     sample_given_pocket (encode_receptors -> copy_graph -> batch ->
     T-step chain -> input-frame restore), with the executed attention
-    semantics, vs our encode + sample. The init frame here is the
-    reference's own default: the rec-atom COM (rec nodes persist for
-    learned encoders), matched by our init_com default."""
+    semantics. The init frame is the reference's own default: the rec-atom
+    COM (rec nodes persist for learned encoders), matched by our init_com
+    default."""
     rng = np.random.default_rng(7)
-    n_rec = 12
-    rec_x = torch.tensor(rng.normal(size=(n_rec, 3)) * 2.5, dtype=torch.float32)
-    rec_h = torch.tensor(rng.normal(size=(n_rec, ATOM_NF)), dtype=torch.float32)
-    lig_ref_x = torch.tensor(rng.normal(size=(5, 3)), dtype=torch.float32)
-    lig_ref_h = torch.tensor(rng.normal(size=(5, ATOM_NF)), dtype=torch.float32)
-    sizes = [6, 7]
-    n_pad = 8
+    rec_x, rec_h, lig_ref_x, lig_ref_h = _pocket_arrays(rng)
+    noise = _sampling_noise(rng)
 
-    ref = _build_reference_model(tmp_path, "learned", HID,
-                                 rec_encoder_config=_enc_cfg_ref())
-
-    init_x = rng.normal(size=(2, n_pad, 3))
-    init_h = rng.normal(size=(2, n_pad, ATOM_NF))
-    steps_x = rng.normal(size=(T, 2, n_pad, 3))
-    steps_h = rng.normal(size=(T, 2, n_pad, ATOM_NF))
+    with tempfile.TemporaryDirectory() as td:
+        ref = _build_reference_model(td, "learned", HID,
+                                     rec_encoder_config=_enc_cfg_ref())
 
     q = _RandnQueue()
-    q.push(_flat_rows(init_x, sizes))
-    q.push(_flat_rows(init_h, sizes))
-    for i in range(T):
-        q.push(_flat_rows(steps_x[i], sizes))
-        q.push(_flat_rows(steps_h[i], sizes))
-    monkeypatch.setattr(torch, "randn", q.randn)
-
+    _queue_sampling_noise(q, noise)
     g = _pocket_graph(rec_x, rec_h, n_kp=N_KP, lig_x=lig_ref_x, lig_h=lig_ref_h)
-    with torch.no_grad():
-        lig_pos_t, lig_feat_t = ref.sample_given_pocket(g, torch.tensor(sizes))
+    with _patched_torch_rng(q), torch.no_grad():
+        lig_pos_t, lig_feat_t = ref.sample_given_pocket(g, torch.tensor(SIZES))
     assert len(q.q) == 0
 
-    ours = _our_model(HID, "learned", rec_encoder=_enc_cfg_ours())
-    params = _converted_params(ref, ours)
-
-    rec_xp = np.zeros((2, n_rec, 3), np.float32)
-    rec_hp = np.zeros((2, n_rec, ATOM_NF), np.float32)
-    rec_xp[:] = rec_x.numpy()
-    rec_hp[:] = rec_h.numpy()
-    lig_mask = np.zeros((2, n_pad), bool)
-    for i, n in enumerate(sizes):
-        lig_mask[i, :n] = True
-    cpx = make_complex(
-        rec_xp, rec_hp, np.ones((2, n_rec), bool),
-        np.zeros((2, n_pad, 3), np.float32), np.zeros((2, n_pad, ATOM_NF), np.float32),
-        lig_mask, n_kp=N_KP, kp_feat_dim=HID,
+    config = dict(
+        atom_nf=ATOM_NF, rec_nf=HID, n_timesteps=T,
+        rec_encoder_type="learned", graph_cutoffs=_graph_cutoffs(),
+        dynamics=_dyn_cfg(), rec_encoder=_enc_cfg_ours(),
     )
-    cpx_enc, kk = ours.encode(params, cpx)
-    out = ours.sample(
-        params, jax.random.key(0), cpx_enc, kk,
-        noise={"init_x": jnp.asarray(init_x, jnp.float32),
-               "init_h": jnp.asarray(init_h, jnp.float32),
-               "steps_x": jnp.asarray(steps_x, jnp.float32),
-               "steps_h": jnp.asarray(steps_h, jnp.float32)},
-    )
-
-    for i, n in enumerate(sizes):
-        np.testing.assert_allclose(
-            np.asarray(out["lig_x"])[i, :n], lig_pos_t[i].numpy(), rtol=1e-3, atol=2e-3)
-        np.testing.assert_allclose(
-            np.asarray(out["lig_h"])[i, :n], lig_feat_t[i].numpy(), rtol=1e-3, atol=2e-3)
+    meta = dict(config=config, n_kp=N_KP, kp_feat_dim=HID,
+                rtol=1e-3, atol=2e-3)
+    params = _np_params(ref, KeypointDiffusion(DiffusionConfig(**config)))
+    inputs = _sampling_inputs(rec_x, rec_h, noise)
+    expected = {"lig_x": _pad_rows(lig_pos_t, N_PAD),
+                "lig_h": _pad_rows(lig_feat_t, N_PAD)}
+    return flatten_case("chain_sample", meta, params, inputs, expected)
 
 
-GVP_S = 10
-GVP_V = 3
-
-
-@pytest.mark.slow
-def test_sampling_chain_parity_learned_gvp_public_api(tmp_path, monkeypatch):
+def build_chain_learned_gvp_case():
     """GVP family end-to-end: the reference's GVP encoder (executed
-    attention) + GVP dynamics chain through sample_given_pocket vs our
-    encode + sample — covers the vector-feature (kp_v) flow, the RBF rk
-    convs, and the GVP per-step edge rebuilds at chain level."""
+    attention) + GVP dynamics chain through sample_given_pocket — covers
+    the vector-feature (kp_v) flow, the RBF rk convs, and the GVP per-step
+    edge rebuilds at chain level."""
     rng = np.random.default_rng(19)
-    n_rec = 12
-    rec_x = torch.tensor(rng.normal(size=(n_rec, 3)) * 2.5, dtype=torch.float32)
-    rec_h = torch.tensor(rng.normal(size=(n_rec, ATOM_NF)), dtype=torch.float32)
-    lig_ref_x = torch.tensor(rng.normal(size=(5, 3)), dtype=torch.float32)
-    lig_ref_h = torch.tensor(rng.normal(size=(5, ATOM_NF)), dtype=torch.float32)
-    sizes = [6, 7]
-    n_pad = 8
+    rec_x, rec_h, lig_ref_x, lig_ref_h = _pocket_arrays(rng)
+    noise = _sampling_noise(rng)
 
-    dyn_cfg = dict(
-        vector_size=GVP_V, n_convs=2, n_hidden_scalars=12, message_norm=10.0,
-        update_kp=True, ll_k=0, kl_k=KL_K, n_message_gvps=2, n_update_gvps=1,
-        n_noise_gvps=2, dropout=0.0,
-    )
-    enc_cfg_ref = dict(
-        in_scalar_size=ATOM_NF, out_scalar_size=GVP_S, n_message_gvps=2,
-        n_update_gvps=1, vector_size=GVP_V, n_rr_convs=2, n_rk_convs=2,
-        message_norm=10.0, use_sameres_feat=False, kp_rad=0,
-        k_closest=K_CLOSEST, dropout=0.0, n_keypoints=N_KP,
-    )
-    ref = _build_reference_model(
-        tmp_path, "learned", GVP_S, rec_encoder_config=enc_cfg_ref,
-        architecture="gvp", dynamics_config=dyn_cfg,
-    )
-
-    init_x = rng.normal(size=(2, n_pad, 3))
-    init_h = rng.normal(size=(2, n_pad, ATOM_NF))
-    steps_x = rng.normal(size=(T, 2, n_pad, 3))
-    steps_h = rng.normal(size=(T, 2, n_pad, ATOM_NF))
+    with tempfile.TemporaryDirectory() as td:
+        ref = _build_reference_model(
+            td, "learned", GVP_S, rec_encoder_config=_gvp_enc_cfg_ref(),
+            architecture="gvp", dynamics_config=dict(_gvp_dyn_cfg(), dropout=0.0),
+        )
 
     q = _RandnQueue()
-    q.push(_flat_rows(init_x, sizes))
-    q.push(_flat_rows(init_h, sizes))
-    for i in range(T):
-        q.push(_flat_rows(steps_x[i], sizes))
-        q.push(_flat_rows(steps_h[i], sizes))
-    monkeypatch.setattr(torch, "randn", q.randn)
-
+    _queue_sampling_noise(q, noise)
     g = _pocket_graph(rec_x, rec_h, n_kp=N_KP, lig_x=lig_ref_x, lig_h=lig_ref_h)
-    with torch.no_grad():
-        lig_pos_t, lig_feat_t = ref.sample_given_pocket(g, torch.tensor(sizes))
+    with _patched_torch_rng(q), torch.no_grad():
+        lig_pos_t, lig_feat_t = ref.sample_given_pocket(g, torch.tensor(SIZES))
     assert len(q.q) == 0
 
-    ours = KeypointDiffusion(DiffusionConfig(
+    config = dict(
         atom_nf=ATOM_NF, rec_nf=GVP_S, n_timesteps=T, architecture="gvp",
         rec_encoder_type="learned", graph_cutoffs=_graph_cutoffs(),
-        dynamics={k: v for k, v in dyn_cfg.items() if k != "dropout"},
-        rec_encoder=dict(
-            in_scalar_size=ATOM_NF, n_keypoints=N_KP, out_scalar_size=GVP_S,
-            vector_size=GVP_V, n_rr_convs=2, n_rk_convs=2, message_norm=10.0,
-            k_closest=K_CLOSEST, kp_rad=0, n_message_gvps=2, n_update_gvps=1,
-            dropout=0.0, attn_semantics="executed",
-        ),
-    ))
-    params = _converted_params(ref, ours)
-
-    rec_xp = np.zeros((2, n_rec, 3), np.float32)
-    rec_hp = np.zeros((2, n_rec, ATOM_NF), np.float32)
-    rec_xp[:] = rec_x.numpy()
-    rec_hp[:] = rec_h.numpy()
-    lig_mask = np.zeros((2, n_pad), bool)
-    for i, n in enumerate(sizes):
-        lig_mask[i, :n] = True
-    cpx = make_complex(
-        rec_xp, rec_hp, np.ones((2, n_rec), bool),
-        np.zeros((2, n_pad, 3), np.float32), np.zeros((2, n_pad, ATOM_NF), np.float32),
-        lig_mask, n_kp=N_KP, kp_feat_dim=GVP_S, kp_vec_dim=GVP_V,
+        dynamics=_gvp_dyn_cfg(), rec_encoder=_gvp_enc_cfg_ours(),
     )
-    cpx_enc, kk = ours.encode(params, cpx)
-    out = ours.sample(
-        params, jax.random.key(0), cpx_enc, kk,
-        noise={"init_x": jnp.asarray(init_x, jnp.float32),
-               "init_h": jnp.asarray(init_h, jnp.float32),
-               "steps_x": jnp.asarray(steps_x, jnp.float32),
-               "steps_h": jnp.asarray(steps_h, jnp.float32)},
-    )
-
-    for i, n in enumerate(sizes):
-        np.testing.assert_allclose(
-            np.asarray(out["lig_x"])[i, :n], lig_pos_t[i].numpy(), rtol=1.5e-3, atol=3e-3)
-        np.testing.assert_allclose(
-            np.asarray(out["lig_h"])[i, :n], lig_feat_t[i].numpy(), rtol=1.5e-3, atol=3e-3)
+    meta = dict(config=config, n_kp=N_KP, kp_feat_dim=GVP_S, kp_vec_dim=GVP_V,
+                rtol=1.5e-3, atol=3e-3)
+    params = _np_params(ref, KeypointDiffusion(DiffusionConfig(**config)))
+    inputs = _sampling_inputs(rec_x, rec_h, noise)
+    expected = {"lig_x": _pad_rows(lig_pos_t, N_PAD),
+                "lig_h": _pad_rows(lig_feat_t, N_PAD)}
+    return flatten_case("chain_sample", meta, params, inputs, expected)
 
 
-@pytest.mark.slow
-def test_forward_loss_chain_parity_learned_egnn(tmp_path, monkeypatch):
+def build_chain_loss_egnn_case():
     """The reference's training forward (normalize -> encode -> OT encoder
     loss -> ligand-COM frame -> noising -> dynamics -> l2/pos/feat) vs our
     loss() on the same timesteps/noise. The `ot` module the reference
@@ -454,12 +411,12 @@ def test_forward_loss_chain_parity_learned_egnn(tmp_path, monkeypatch):
     rng = np.random.default_rng(3)
     n_recs = [12, 10]
     n_ligs = [6, 7]
-    n_rec_pad, n_pad = 12, 8
 
-    ref = _build_reference_model(
-        tmp_path, "learned", HID, rec_encoder_config=_enc_cfg_ref(),
-        rec_encoder_loss_config={"loss_type": "optimal_transport"},
-    )
+    with tempfile.TemporaryDirectory() as td:
+        ref = _build_reference_model(
+            td, "learned", HID, rec_encoder_config=_enc_cfg_ref(),
+            rec_encoder_loss_config={"loss_type": "optimal_transport"},
+        )
 
     graphs, rec_np, lig_np = [], [], []
     for n_rec, n_lig in zip(n_recs, n_ligs):
@@ -473,48 +430,66 @@ def test_forward_loss_chain_parity_learned_egnn(tmp_path, monkeypatch):
     gb = dgl_batch(graphs)
 
     t_ints = np.array([2, 6])
-    eps_x = rng.normal(size=(2, n_pad, 3))
-    eps_h = rng.normal(size=(2, n_pad, ATOM_NF))
+    eps_x = rng.normal(size=(2, N_PAD, 3)).astype(np.float32)
+    eps_h = rng.normal(size=(2, N_PAD, ATOM_NF)).astype(np.float32)
     q = _RandnQueue()
     q.t_ints = t_ints
     # reference draw order: eps dict builds 'h' FIRST (ligand_diffuser.py:125-128)
     q.push(_flat_rows(eps_h, n_ligs))
     q.push(_flat_rows(eps_x, n_ligs))
-    monkeypatch.setattr(torch, "randn", q.randn)
-    monkeypatch.setattr(torch, "randint", q.randint)
-
-    with torch.no_grad():
+    with _patched_torch_rng(q), torch.no_grad():
         losses_t = ref(gb, interface_points=None)
     assert len(q.q) == 0
 
-    ours = _our_model(
-        HID, "learned", rec_encoder=_enc_cfg_ours(),
+    config = dict(
+        atom_nf=ATOM_NF, rec_nf=HID, n_timesteps=T,
+        rec_encoder_type="learned", graph_cutoffs=_graph_cutoffs(),
+        dynamics=_dyn_cfg(), rec_encoder=_enc_cfg_ours(),
         rec_encoder_loss={"loss_type": "optimal_transport", "method": "exact"},
     )
-    params = _converted_params(ref, ours)
+    meta = dict(config=config, n_kp=N_KP, kp_feat_dim=HID,
+                rtol=2e-4, atol=2e-5)
+    params = _np_params(ref, KeypointDiffusion(DiffusionConfig(**config)))
 
+    n_rec_pad = max(n_recs)
     rec_xp = np.zeros((2, n_rec_pad, 3), np.float32)
     rec_hp = np.zeros((2, n_rec_pad, ATOM_NF), np.float32)
     rec_mask = np.zeros((2, n_rec_pad), bool)
-    lig_xp = np.zeros((2, n_pad, 3), np.float32)
-    lig_hp = np.zeros((2, n_pad, ATOM_NF), np.float32)
-    lig_mask = np.zeros((2, n_pad), bool)
+    lig_xp = np.zeros((2, N_PAD, 3), np.float32)
+    lig_hp = np.zeros((2, N_PAD, ATOM_NF), np.float32)
+    lig_mask = np.zeros((2, N_PAD), bool)
     for i, (n_rec, n_lig) in enumerate(zip(n_recs, n_ligs)):
         rec_xp[i, :n_rec], rec_hp[i, :n_rec] = rec_np[i]
         rec_mask[i, :n_rec] = True
         lig_xp[i, :n_lig], lig_hp[i, :n_lig] = lig_np[i]
         lig_mask[i, :n_lig] = True
-    cpx = make_complex(rec_xp, rec_hp, rec_mask, lig_xp, lig_hp, lig_mask,
-                       n_kp=N_KP, kp_feat_dim=HID)
 
-    losses_j = ours.loss(
-        params, jax.random.key(0), cpx,
-        t_eps_override=(jnp.asarray(t_ints, jnp.int32),
-                        jnp.asarray(eps_x, jnp.float32),
-                        jnp.asarray(eps_h, jnp.float32)),
-    )
+    inputs = dict(rec_x=rec_xp, rec_h=rec_hp, rec_mask=rec_mask,
+                  lig_x=lig_xp, lig_h=lig_hp, lig_mask=lig_mask,
+                  t_ints=t_ints, eps_x=eps_x, eps_h=eps_h)
+    expected = {k: np.float32(losses_t[k]) for k in ("l2", "pos", "feat", "rec_encoder")}
+    return flatten_case("chain_loss", meta, params, inputs, expected)
 
-    for key in ("l2", "pos", "feat", "rec_encoder"):
-        np.testing.assert_allclose(
-            float(losses_j[key]), float(losses_t[key]), rtol=2e-4, atol=2e-5,
-            err_msg=f"loss '{key}' diverges from the reference's forward")
+
+CHAIN_BUILDERS = {
+    "refexec_chain_fixed_egnn": build_chain_fixed_egnn_case,
+    "refexec_chain_learned_egnn": build_chain_learned_egnn_case,
+    "refexec_chain_learned_gvp": build_chain_learned_gvp_case,
+    "refexec_chain_loss_egnn": build_chain_loss_egnn_case,
+}
+
+
+# -------------------------------------------------------------------- tests
+def _assert_flat_case(flat):
+    """Round-trip through npz (exactly what the golden fixture stores) and
+    run the torch-free side against the embedded expectations."""
+    buf = io.BytesIO()
+    np.savez(buf, **flat)
+    buf.seek(0)
+    assert_case(np.load(buf, allow_pickle=False))
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", sorted(CHAIN_BUILDERS), ids=sorted(CHAIN_BUILDERS))
+def test_reference_chain_parity(name):
+    _assert_flat_case(CHAIN_BUILDERS[name]())
