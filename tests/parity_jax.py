@@ -67,6 +67,8 @@ def _chain_complex(meta, inputs, cfg):
         lig_x, lig_h, lig_mask,
         n_kp=meta["n_kp"], kp_feat_dim=meta["kp_feat_dim"],
         kp_vec_dim=meta.get("kp_vec_dim"),
+        ip_x=inputs.get("ip_x"),
+        ip_mask=inputs["ip_mask"].astype(bool) if "ip_mask" in inputs else None,
     )
 
 

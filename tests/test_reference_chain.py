@@ -471,11 +471,103 @@ def build_chain_loss_egnn_case():
     return flatten_case("chain_loss", meta, params, inputs, expected)
 
 
+def build_chain_loss_hinge_ip_case():
+    """The two remaining loss branches at chain level: the receptor-ligand
+    clash hinge on the one-shot denoised ligand (rl_dist_threshold > 0,
+    ligand_diffuser.py:109-156 — denoise, receptor-COM re-frame, per-graph
+    DistanceHingeLoss vs rec atoms) and the interface-point OT variant of
+    the encoder loss (rec_encoder_loss.py:73-82)."""
+    rng = np.random.default_rng(23)
+    n_recs = [12, 10]
+    n_ligs = [6, 7]
+    n_ips = [5, 6]
+    rl_thresh = 2.0
+
+    # rl hinge is configured on the top module, not the loss
+    # (ligand_diffuser.py:45-49), so this builder constructs the reference
+    # module directly instead of going through _build_reference_model
+    with tempfile.TemporaryDirectory() as td:
+        ld_mod = load_reference_module("models.ligand_diffuser")
+        torch.manual_seed(11)
+        ref = ld_mod.KeypointDiffusion(
+            atom_nf=ATOM_NF, rec_nf=HID, processed_dataset_dir=_sizedist_dir(td),
+            n_timesteps=T, architecture="egnn", rec_encoder_type="learned",
+            graph_config={"graph_cutoffs": _graph_cutoffs()},
+            dynamics_config=dict(_dyn_cfg(), n_keypoints=N_KP),
+            rec_encoder_config=_enc_cfg_ref(),
+            rec_encoder_loss_config={"loss_type": "optimal_transport",
+                                     "use_interface_points": True},
+            precision=1e-4, lig_feat_norm_constant=1,
+            rl_dist_threshold=rl_thresh,
+        ).eval()
+
+    graphs, rec_np, lig_np, ip_np = [], [], [], []
+    for n_rec, n_lig, n_ip in zip(n_recs, n_ligs, n_ips):
+        rec_x = torch.tensor(rng.normal(size=(n_rec, 3)) * 2.5, dtype=torch.float32)
+        rec_h = torch.tensor(rng.normal(size=(n_rec, ATOM_NF)), dtype=torch.float32)
+        lig_x = torch.tensor(rng.normal(size=(n_lig, 3)), dtype=torch.float32)
+        lig_h = torch.tensor(rng.normal(size=(n_lig, ATOM_NF)), dtype=torch.float32)
+        graphs.append(_pocket_graph(rec_x, rec_h, n_kp=N_KP, lig_x=lig_x, lig_h=lig_h))
+        rec_np.append((rec_x.numpy(), rec_h.numpy()))
+        lig_np.append((lig_x.numpy(), lig_h.numpy()))
+        ip_np.append(rng.normal(size=(n_ip, 3)).astype(np.float32) * 2)
+    gb = dgl_batch(graphs)
+
+    t_ints = np.array([3, 5])
+    eps_x = rng.normal(size=(2, N_PAD, 3)).astype(np.float32)
+    eps_h = rng.normal(size=(2, N_PAD, ATOM_NF)).astype(np.float32)
+    q = _RandnQueue()
+    q.t_ints = t_ints
+    q.push(_flat_rows(eps_h, n_ligs))
+    q.push(_flat_rows(eps_x, n_ligs))
+    with _patched_torch_rng(q), torch.no_grad():
+        losses_t = ref(gb, interface_points=[torch.tensor(p) for p in ip_np])
+    assert len(q.q) == 0
+
+    config = dict(
+        atom_nf=ATOM_NF, rec_nf=HID, n_timesteps=T,
+        rec_encoder_type="learned", graph_cutoffs=_graph_cutoffs(),
+        dynamics=_dyn_cfg(), rec_encoder=_enc_cfg_ours(),
+        rec_encoder_loss={"loss_type": "optimal_transport", "method": "exact",
+                          "use_interface_points": True},
+        rl_dist_threshold=rl_thresh,
+    )
+    meta = dict(config=config, n_kp=N_KP, kp_feat_dim=HID,
+                rtol=3e-4, atol=3e-5)
+    params = _np_params(ref, KeypointDiffusion(DiffusionConfig(**config)))
+
+    n_rec_pad, n_ip_pad = max(n_recs), max(n_ips)
+    rec_xp = np.zeros((2, n_rec_pad, 3), np.float32)
+    rec_hp = np.zeros((2, n_rec_pad, ATOM_NF), np.float32)
+    rec_mask = np.zeros((2, n_rec_pad), bool)
+    lig_xp = np.zeros((2, N_PAD, 3), np.float32)
+    lig_hp = np.zeros((2, N_PAD, ATOM_NF), np.float32)
+    lig_mask = np.zeros((2, N_PAD), bool)
+    ip_xp = np.zeros((2, n_ip_pad, 3), np.float32)
+    ip_mask = np.zeros((2, n_ip_pad), bool)
+    for i, (n_rec, n_lig, n_ip) in enumerate(zip(n_recs, n_ligs, n_ips)):
+        rec_xp[i, :n_rec], rec_hp[i, :n_rec] = rec_np[i]
+        rec_mask[i, :n_rec] = True
+        lig_xp[i, :n_lig], lig_hp[i, :n_lig] = lig_np[i]
+        lig_mask[i, :n_lig] = True
+        ip_xp[i, :n_ip] = ip_np[i]
+        ip_mask[i, :n_ip] = True
+
+    inputs = dict(rec_x=rec_xp, rec_h=rec_hp, rec_mask=rec_mask,
+                  lig_x=lig_xp, lig_h=lig_hp, lig_mask=lig_mask,
+                  ip_x=ip_xp, ip_mask=ip_mask,
+                  t_ints=t_ints, eps_x=eps_x, eps_h=eps_h)
+    expected = {k: np.float32(losses_t[k])
+                for k in ("l2", "pos", "feat", "rec_encoder", "rl_hinge")}
+    return flatten_case("chain_loss", meta, params, inputs, expected)
+
+
 CHAIN_BUILDERS = {
     "refexec_chain_fixed_egnn": build_chain_fixed_egnn_case,
     "refexec_chain_learned_egnn": build_chain_learned_egnn_case,
     "refexec_chain_learned_gvp": build_chain_learned_gvp_case,
     "refexec_chain_loss_egnn": build_chain_loss_egnn_case,
+    "refexec_chain_loss_hinge_ip_egnn": build_chain_loss_hinge_ip_case,
 }
 
 
