@@ -113,6 +113,7 @@ def model_from_config(config: Dict[str, Any]) -> KeypointDiffusion:
         lig_feat_norm_constant=diffusion.get("lig_feat_norm_constant", 1),
         rl_dist_threshold=diffusion.get("rl_dist_threshold", 0),
         use_fake_atoms=config["dataset"].get("max_fake_atom_frac", 0.0) > 0,
+        fake_atom_loss_semantics=diffusion.get("fake_atom_loss_semantics", "intent"),
         architecture=architecture,
         rec_encoder_type=rec_encoder_type,
         graph_cutoffs=cutoffs,

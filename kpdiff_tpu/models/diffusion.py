@@ -37,6 +37,13 @@ class DiffusionConfig:
     lig_feat_norm_constant: float = 1.0
     rl_dist_threshold: float = 0.0
     use_fake_atoms: bool = False
+    # 'intent' masks the x-loss to real atoms as the reference INTENDS;
+    # 'executed' replicates what its code actually computes: the mask is
+    # derived from the NOISED feature's last channel (.bool() of a
+    # gaussian-perturbed float, ligand_diffuser.py:161) — almost surely
+    # all-True, i.e. no masking. PARITY.md deviation 1; pinned by the
+    # refexec chain-loss case (tests/test_reference_chain.py).
+    fake_atom_loss_semantics: str = "intent"  # 'intent' | 'executed'
     architecture: str = "egnn"  # 'egnn' | 'gvp'
     rec_encoder_type: str = "fixed"  # 'learned' | 'fixed'
     graph_cutoffs: Dict[str, float] = dataclasses.field(
@@ -354,7 +361,12 @@ class KeypointDiffusion:
         # NaN * 0 would poison the global sums. Bitwise-identical to the
         # multiply for finite residuals.
         if cfg.use_fake_atoms:
-            real = (cpx.lig_mask & (cpx.lig_h[..., -1] <= 0))[..., None]
+            if cfg.fake_atom_loss_semantics == "executed":
+                # the reference reads the NOISED h (its h_0 was overwritten by
+                # noised_representation) — .bool() of alpha*h + sigma*eps
+                real = (cpx.lig_mask & (z_h[..., -1] != 0))[..., None]
+            else:
+                real = (cpx.lig_mask & (cpx.lig_h[..., -1] <= 0))[..., None]
             x_loss = jnp.sum(jnp.square(jnp.where(real, eps_x - eps_x_pred, 0.0)))
             n_x = jnp.maximum(jnp.sum(real.astype(z_x.dtype)) * 3.0, 1.0)
         else:

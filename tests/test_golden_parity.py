@@ -19,7 +19,8 @@ def test_fixture_set_complete():
             "gvp_dynamics_mean", "gvp_dynamics_mn10", "gvp_encoder",
             "refexec_chain_fixed_egnn", "refexec_chain_learned_egnn",
             "refexec_chain_learned_gvp", "refexec_chain_loss_egnn",
-            "refexec_chain_loss_hinge_ip_egnn"} <= names
+            "refexec_chain_loss_hinge_ip_egnn",
+            "refexec_chain_loss_fake_atoms_egnn"} <= names
 
 
 @pytest.mark.parametrize("path", GOLDEN, ids=[p.stem for p in GOLDEN])

@@ -562,12 +562,93 @@ def build_chain_loss_hinge_ip_case():
     return flatten_case("chain_loss", meta, params, inputs, expected)
 
 
+def build_chain_loss_fake_atoms_case():
+    """use_fake_atoms loss semantics (PARITY.md deviation 1): the reference
+    MEANS to mask the x-loss to real atoms but derives the mask from the
+    NOISED feature's last channel (`h_0[:, -1:].bool()` after
+    noised_representation overwrote h_0, ligand_diffuser.py:159-164) —
+    almost surely all-True, so the executed x-loss is unmasked. Frozen with
+    `fake_atom_loss_semantics: executed`, which must match the reference;
+    the live test additionally asserts the 'intent' default DIVERGES on
+    this batch (the knob is not dead code)."""
+    rng = np.random.default_rng(31)
+    n_recs = [12, 10]
+    n_ligs = [6, 7]
+    fake_counts = [2, 1]  # trailing atoms flagged as fake per ligand
+
+    with tempfile.TemporaryDirectory() as td:
+        ld_mod = load_reference_module("models.ligand_diffuser")
+        torch.manual_seed(11)
+        ref = ld_mod.KeypointDiffusion(
+            atom_nf=ATOM_NF, rec_nf=ATOM_NF, processed_dataset_dir=_sizedist_dir(td),
+            n_timesteps=T, architecture="egnn", rec_encoder_type="fixed",
+            graph_config={"graph_cutoffs": _graph_cutoffs()},
+            dynamics_config=dict(_dyn_cfg(), n_keypoints=N_KP),
+            rec_encoder_config={}, rec_encoder_loss_config={},
+            precision=1e-4, lig_feat_norm_constant=1, use_fake_atoms=True,
+        ).eval()
+
+    graphs, rec_np, lig_np = [], [], []
+    for n_rec, n_lig, n_fake in zip(n_recs, n_ligs, fake_counts):
+        rec_x = torch.tensor(rng.normal(size=(n_rec, 3)) * 2.5, dtype=torch.float32)
+        rec_h = torch.tensor(rng.normal(size=(n_rec, ATOM_NF)), dtype=torch.float32)
+        lig_x = torch.tensor(rng.normal(size=(n_lig, 3)), dtype=torch.float32)
+        lig_h = torch.tensor(rng.normal(size=(n_lig, ATOM_NF)), dtype=torch.float32)
+        lig_h[:, -1] = 0.0
+        lig_h[n_lig - n_fake:, -1] = 1.0  # fake-atom channel
+        graphs.append(_pocket_graph(rec_x, rec_h, n_kp=0, lig_x=lig_x, lig_h=lig_h))
+        rec_np.append((rec_x.numpy(), rec_h.numpy()))
+        lig_np.append((lig_x.numpy(), lig_h.numpy()))
+    gb = dgl_batch(graphs)
+
+    t_ints = np.array([2, 6])
+    eps_x = rng.normal(size=(2, N_PAD, 3)).astype(np.float32)
+    eps_h = rng.normal(size=(2, N_PAD, ATOM_NF)).astype(np.float32)
+    q = _RandnQueue()
+    q.t_ints = t_ints
+    q.push(_flat_rows(eps_h, n_ligs))
+    q.push(_flat_rows(eps_x, n_ligs))
+    with _patched_torch_rng(q), torch.no_grad():
+        losses_t = ref(gb, interface_points=None)
+    assert len(q.q) == 0
+
+    config = dict(
+        atom_nf=ATOM_NF, rec_nf=ATOM_NF, n_timesteps=T,
+        rec_encoder_type="fixed", graph_cutoffs=_graph_cutoffs(),
+        dynamics=_dyn_cfg(), use_fake_atoms=True,
+        fake_atom_loss_semantics="executed",
+    )
+    meta = dict(config=config, n_kp=max(n_recs), kp_feat_dim=ATOM_NF,
+                rtol=2e-4, atol=2e-5)
+    params = _np_params(ref, KeypointDiffusion(DiffusionConfig(**config)))
+
+    n_rec_pad = max(n_recs)
+    rec_xp = np.zeros((2, n_rec_pad, 3), np.float32)
+    rec_hp = np.zeros((2, n_rec_pad, ATOM_NF), np.float32)
+    rec_mask = np.zeros((2, n_rec_pad), bool)
+    lig_xp = np.zeros((2, N_PAD, 3), np.float32)
+    lig_hp = np.zeros((2, N_PAD, ATOM_NF), np.float32)
+    lig_mask = np.zeros((2, N_PAD), bool)
+    for i, (n_rec, n_lig) in enumerate(zip(n_recs, n_ligs)):
+        rec_xp[i, :n_rec], rec_hp[i, :n_rec] = rec_np[i]
+        rec_mask[i, :n_rec] = True
+        lig_xp[i, :n_lig], lig_hp[i, :n_lig] = lig_np[i]
+        lig_mask[i, :n_lig] = True
+
+    inputs = dict(rec_x=rec_xp, rec_h=rec_hp, rec_mask=rec_mask,
+                  lig_x=lig_xp, lig_h=lig_hp, lig_mask=lig_mask,
+                  t_ints=t_ints, eps_x=eps_x, eps_h=eps_h)
+    expected = {k: np.float32(losses_t[k]) for k in ("l2", "pos", "feat")}
+    return flatten_case("chain_loss", meta, params, inputs, expected)
+
+
 CHAIN_BUILDERS = {
     "refexec_chain_fixed_egnn": build_chain_fixed_egnn_case,
     "refexec_chain_learned_egnn": build_chain_learned_egnn_case,
     "refexec_chain_learned_gvp": build_chain_learned_gvp_case,
     "refexec_chain_loss_egnn": build_chain_loss_egnn_case,
     "refexec_chain_loss_hinge_ip_egnn": build_chain_loss_hinge_ip_case,
+    "refexec_chain_loss_fake_atoms_egnn": build_chain_loss_fake_atoms_case,
 }
 
 
@@ -585,3 +666,23 @@ def _assert_flat_case(flat):
 @pytest.mark.parametrize("name", sorted(CHAIN_BUILDERS), ids=sorted(CHAIN_BUILDERS))
 def test_reference_chain_parity(name):
     _assert_flat_case(CHAIN_BUILDERS[name]())
+
+
+@pytest.mark.slow
+def test_fake_atom_loss_semantics_diverge():
+    """The 'intent' default must NOT reproduce the reference's executed
+    fake-atom x-loss on a batch containing fake atoms — otherwise the
+    fake_atom_loss_semantics knob is dead code."""
+    import json
+
+    from tests.parity_jax import run_case, unflatten_case
+
+    flat = build_chain_loss_fake_atoms_case()
+    buf = io.BytesIO()
+    np.savez(buf, **flat)
+    buf.seek(0)
+    kind, meta, params, inputs, expected = unflatten_case(np.load(buf, allow_pickle=False))
+    meta["config"]["fake_atom_loss_semantics"] = "intent"
+    got = run_case(kind, meta, params, inputs)
+    assert not np.allclose(got["pos"], expected["pos"], rtol=1e-5), \
+        "intent vs executed fake-atom semantics should differ here"
