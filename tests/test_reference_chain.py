@@ -562,6 +562,71 @@ def build_chain_loss_hinge_ip_case():
     return flatten_case("chain_loss", meta, params, inputs, expected)
 
 
+def build_chain_two_pockets_egnn_case():
+    """The multi-receptor batch path: reference `_sample` with TWO different
+    pockets, one ligand each (ligand_diffuser.py:271-340 — batched
+    encode_receptors over both graphs, per-receptor copy_graph, one joint
+    diffusion batch, per-receptor result grouping) vs our batch=2 padded
+    complex with per-item rec masks. Exercises the learned encoder's
+    batched execution through the shim (per-graph segment-softmax
+    denominators, batched knn/radius) and our rec-mask padding."""
+    rng = np.random.default_rng(29)
+    n_recs = [12, 10]
+    sizes = [5, 7]
+    n_rec_pad = max(n_recs)
+
+    with tempfile.TemporaryDirectory() as td:
+        ref = _build_reference_model(td, "learned", HID,
+                                     rec_encoder_config=_enc_cfg_ref())
+
+    graphs, rec_np = [], []
+    for n_rec in n_recs:
+        rec_x = torch.tensor(rng.normal(size=(n_rec, 3)) * 2.5, dtype=torch.float32)
+        rec_h = torch.tensor(rng.normal(size=(n_rec, ATOM_NF)), dtype=torch.float32)
+        lig_ref_x = torch.tensor(rng.normal(size=(5, 3)), dtype=torch.float32)
+        lig_ref_h = torch.tensor(rng.normal(size=(5, ATOM_NF)), dtype=torch.float32)
+        graphs.append(_pocket_graph(rec_x, rec_h, n_kp=N_KP,
+                                    lig_x=lig_ref_x, lig_h=lig_ref_h))
+        rec_np.append((rec_x.numpy(), rec_h.numpy()))
+
+    noise = _sampling_noise(rng)
+    q = _RandnQueue()
+    q.push(_flat_rows(noise["init_x"], sizes))
+    q.push(_flat_rows(noise["init_h"], sizes))
+    for i in range(T):
+        q.push(_flat_rows(noise["steps_x"][i], sizes))
+        q.push(_flat_rows(noise["steps_h"][i], sizes))
+    with _patched_torch_rng(q), torch.no_grad():
+        samples = ref._sample(graphs, n_lig_atoms=[[sizes[0]], [sizes[1]]])
+    assert len(q.q) == 0
+    lig_pos_t = [samples[0]["positions"][0], samples[1]["positions"][0]]
+    lig_feat_t = [samples[0]["features"][0], samples[1]["features"][0]]
+
+    config = dict(
+        atom_nf=ATOM_NF, rec_nf=HID, n_timesteps=T,
+        rec_encoder_type="learned", graph_cutoffs=_graph_cutoffs(),
+        dynamics=_dyn_cfg(), rec_encoder=_enc_cfg_ours(),
+    )
+    meta = dict(config=config, n_kp=N_KP, kp_feat_dim=HID,
+                rtol=1e-3, atol=2e-3)
+    params = _np_params(ref, KeypointDiffusion(DiffusionConfig(**config)))
+
+    rec_xp = np.zeros((2, n_rec_pad, 3), np.float32)
+    rec_hp = np.zeros((2, n_rec_pad, ATOM_NF), np.float32)
+    rec_mask = np.zeros((2, n_rec_pad), bool)
+    for i, n_rec in enumerate(n_recs):
+        rec_xp[i, :n_rec], rec_hp[i, :n_rec] = rec_np[i]
+        rec_mask[i, :n_rec] = True
+    inputs = dict(
+        rec_x=rec_xp, rec_h=rec_hp, rec_mask=rec_mask,
+        lig_mask=np.array([[i < n for i in range(N_PAD)] for n in sizes]),
+        **noise,
+    )
+    expected = {"lig_x": _pad_rows(lig_pos_t, N_PAD),
+                "lig_h": _pad_rows(lig_feat_t, N_PAD)}
+    return flatten_case("chain_sample", meta, params, inputs, expected)
+
+
 def build_chain_loss_fake_atoms_case():
     """use_fake_atoms loss semantics (PARITY.md deviation 1): the reference
     MEANS to mask the x-loss to real atoms but derives the mask from the
@@ -649,6 +714,7 @@ CHAIN_BUILDERS = {
     "refexec_chain_loss_egnn": build_chain_loss_egnn_case,
     "refexec_chain_loss_hinge_ip_egnn": build_chain_loss_hinge_ip_case,
     "refexec_chain_loss_fake_atoms_egnn": build_chain_loss_fake_atoms_case,
+    "refexec_chain_two_pockets_egnn": build_chain_two_pockets_egnn_case,
 }
 
 
