@@ -548,7 +548,7 @@ class KeypointDiffusion:
                 f_kp[idx].reshape(-1, *f_kp.shape[2:]),
                 jnp.broadcast_to(cpx.kp_mask, (idx.shape[0], *cpx.kp_mask.shape)).reshape(-1, cpx.kp_mask.shape[-1]),
             ).reshape(idx.shape[0], b, 3)
-            fx = f_x[idx] - f_kp_com[:, :, None] + init_kp_com[None, :, None]
+            fx = (f_x[idx] - f_kp_com[:, :, None] + init_kp_com[None, :, None]) * lm[None]
             out["frames_x"] = fx
             out["frames_h"] = f_h[idx] * cfg.lig_feat_norm_constant
 

@@ -103,8 +103,13 @@ def run_case(kind, meta, params, inputs):
                  for k in ("init_x", "init_h", "steps_x", "steps_h")}
         init_com = jnp.asarray(inputs["init_com"]) if "init_com" in inputs else None
         out = model.sample(params, jax.random.key(0), enc, kk,
-                           init_com=init_com, noise=noise)
-        return {"lig_x": np.asarray(out["lig_x"]), "lig_h": np.asarray(out["lig_h"])}
+                           init_com=init_com, noise=noise,
+                           return_every=meta.get("return_every", 0))
+        res = {"lig_x": np.asarray(out["lig_x"]), "lig_h": np.asarray(out["lig_h"])}
+        if meta.get("return_every"):
+            res["frames_x"] = np.asarray(out["frames_x"])
+            res["frames_h"] = np.asarray(out["frames_h"])
+        return res
 
     if kind == "chain_loss":
         cpx = _chain_complex(meta, inputs, cfg)

@@ -186,8 +186,14 @@ class HeteroGraphShim:
         self._edata = {et: {} for et in etypes}
         self._batch_num_nodes = {nt: torch.tensor([n]) for nt, n in num_nodes.items()}
         self._batch_num_edges = {self._canonical[et]: torch.tensor([0]) for et in etypes}
-        self.batch_size = 1
         self.ndata_writeback = ndata_writeback
+
+    @property
+    def batch_size(self):
+        # DGL derives batch_size from the batch bookkeeping — critical for
+        # copy_graph(batched_graph=True), whose fresh heterographs become
+        # batched purely via set_batch_num_nodes (utils.py:127-133)
+        return len(next(iter(self._batch_num_nodes.values())))
 
     # ---- structure
     @property
@@ -557,7 +563,6 @@ def dgl_batch(graphs):
                             for nt in g0._n}
     out._batch_num_edges = {ce: torch.cat([g._batch_num_edges[ce] for g in graphs])
                             for ce in out._batch_num_edges}
-    out.batch_size = sum(g.batch_size for g in graphs)
     return out
 
 

@@ -21,7 +21,7 @@ def test_fixture_set_complete():
             "refexec_chain_learned_gvp", "refexec_chain_loss_egnn",
             "refexec_chain_loss_hinge_ip_egnn",
             "refexec_chain_loss_fake_atoms_egnn",
-            "refexec_chain_two_pockets_egnn"} <= names
+            "refexec_chain_two_pockets_egnn", "refexec_chain_frames_egnn"} <= names
 
 
 @pytest.mark.parametrize("path", GOLDEN, ids=[p.stem for p in GOLDEN])

@@ -627,6 +627,53 @@ def build_chain_two_pockets_egnn_case():
     return flatten_case("chain_sample", meta, params, inputs, expected)
 
 
+def build_chain_frames_egnn_case():
+    """The visualize/trajectory path: sample_given_pocket(visualize=True)
+    collects a per-step frame restored to the input frame via the current
+    keypoint COM (ligand_diffuser.py:411-435, per-frame batched copy_graph
+    + unnormalize), driving the reference's .pdb trajectory writer; ours is
+    sample(return_every=1) -> frames_x/frames_h. The reference's frame 0 is
+    the pre-chain initial state (ours starts after step 1), so our frame k
+    must equal the reference's frame k+1."""
+    rng = np.random.default_rng(37)
+    rec_x, rec_h, lig_ref_x, lig_ref_h = _pocket_arrays(rng)
+    noise = _sampling_noise(rng)
+
+    with tempfile.TemporaryDirectory() as td:
+        ref = _build_reference_model(td, "learned", HID,
+                                     rec_encoder_config=_enc_cfg_ref())
+
+    q = _RandnQueue()
+    _queue_sampling_noise(q, noise)
+    g = _pocket_graph(rec_x, rec_h, n_kp=N_KP, lig_x=lig_ref_x, lig_h=lig_ref_h)
+    with _patched_torch_rng(q), torch.no_grad():
+        pos_frames, feat_frames = ref.sample_given_pocket(
+            g, torch.tensor(SIZES), visualize=True)
+    assert len(q.q) == 0
+    # pos_frames[i] = per-ligand tuple of T+1 frames (init + each step)
+    exp_frames_x = np.stack(
+        [_pad_rows([pos_frames[i][k + 1] for i in range(2)], N_PAD) for k in range(T)])
+    exp_frames_h = np.stack(
+        [_pad_rows([feat_frames[i][k + 1] for i in range(2)], N_PAD) for k in range(T)])
+
+    config = dict(
+        atom_nf=ATOM_NF, rec_nf=HID, n_timesteps=T,
+        rec_encoder_type="learned", graph_cutoffs=_graph_cutoffs(),
+        dynamics=_dyn_cfg(), rec_encoder=_enc_cfg_ours(),
+    )
+    meta = dict(config=config, n_kp=N_KP, kp_feat_dim=HID,
+                return_every=1, rtol=1e-3, atol=2e-3)
+    params = _np_params(ref, KeypointDiffusion(DiffusionConfig(**config)))
+    inputs = _sampling_inputs(rec_x, rec_h, noise)
+    expected = {
+        "lig_x": _pad_rows([pos_frames[i][-1] for i in range(2)], N_PAD),
+        "lig_h": _pad_rows([feat_frames[i][-1] for i in range(2)], N_PAD),
+        "frames_x": exp_frames_x,
+        "frames_h": exp_frames_h,
+    }
+    return flatten_case("chain_sample", meta, params, inputs, expected)
+
+
 def build_chain_loss_fake_atoms_case():
     """use_fake_atoms loss semantics (PARITY.md deviation 1): the reference
     MEANS to mask the x-loss to real atoms but derives the mask from the
@@ -715,6 +762,7 @@ CHAIN_BUILDERS = {
     "refexec_chain_loss_hinge_ip_egnn": build_chain_loss_hinge_ip_case,
     "refexec_chain_loss_fake_atoms_egnn": build_chain_loss_fake_atoms_case,
     "refexec_chain_two_pockets_egnn": build_chain_two_pockets_egnn_case,
+    "refexec_chain_frames_egnn": build_chain_frames_egnn_case,
 }
 
 
