@@ -123,15 +123,20 @@ def main(argv=None):
     if args.synthetic_mol:
         from kpdiff_tpu.data.molgen import molecular_synthetic_dataset
 
+        ca_only = bool(ds_cfg.get("ca_only", False))
         lig_range = (min(10, max(pad.n_lig // 2, 2)), min(32, pad.n_lig))
-        rec_range = (min(192, pad.n_rec // 2), pad.n_rec)
+        # Cα-only pockets carry one node per residue — far fewer nodes at
+        # ~3.8 Å spacing than all-atom shells (configs pad n_rec=128 there)
+        rec_lo = min(48, pad.n_rec // 2) if ca_only else min(192, pad.n_rec // 2)
+        rec_range = (rec_lo, pad.n_rec)
         train_ds = molecular_synthetic_dataset(
             args.synthetic_mol, seed=args.seed, lig_elements=ds_cfg["lig_elements"],
-            n_rec_feat=n_rec_feat, lig_range=lig_range, rec_range=rec_range)
+            n_rec_feat=n_rec_feat, lig_range=lig_range, rec_range=rec_range,
+            ca_only=ca_only)
         test_ds = molecular_synthetic_dataset(
             max(args.synthetic_mol // 8, 4), seed=args.seed + 1,
             lig_elements=ds_cfg["lig_elements"], n_rec_feat=n_rec_feat,
-            lig_range=lig_range, rec_range=rec_range)
+            lig_range=lig_range, rec_range=rec_range, ca_only=ca_only)
     elif args.synthetic:
         rec_range = (min(24, pad.n_rec // 2), pad.n_rec)
         lig_range = (min(8, max(pad.n_lig // 2, 2)), pad.n_lig)

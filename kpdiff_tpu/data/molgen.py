@@ -135,6 +135,7 @@ def molecular_synthetic_dataset(
     lig_range: Tuple[int, int] = (10, 32),
     rec_range: Tuple[int, int] = (192, 384),
     min_sep: float = 1.8,
+    ca_only: bool = False,
 ):
     """A ComplexDataset of molecule-like ligands in protein-density pockets.
 
@@ -142,8 +143,16 @@ def molecular_synthetic_dataset(
     receptor shell radius adapts to the ligand's extent so pockets wrap the
     molecule the way an 8 Å-cutoff extraction does
     (reference dataset.py pocket_cutoff).
+
+    ca_only mirrors the reference's ca_only processing (one pocket node per
+    residue Cα, process_bindingmoad.py --ca_only): nodes at Cα density
+    (~3.8 Å nearest-neighbor spacing), 20-dim residue-type one-hots, and one
+    residue index per node.
     """
     from kpdiff_tpu.data.dataset import ComplexDataset
+
+    if ca_only:
+        min_sep = 3.8  # Cα-Cα spacing along a backbone
 
     rng = np.random.default_rng(seed)
     lig_pos, lig_feat, rec_pos, rec_feat, res_idx, ips = [], [], [], [], [], []
@@ -167,12 +176,19 @@ def molecular_synthetic_dataset(
         rnorm = np.linalg.norm(centers, axis=1)
         centers = centers[(rnorm > lo_r) & (rnorm < hi_r)]
         take = rng.choice(len(centers), size=min(n_rec, len(centers)), replace=False)
-        rx = (centers[take] + rng.uniform(-0.3, 0.3, (len(take), 3)) * min_sep).astype(np.float32)
+        # Cα spacing is tight around 3.8 Å — keep the jitter small enough
+        # that grid neighbors cannot collapse below realistic separation
+        jit = 0.08 if ca_only else 0.3
+        rx = (centers[take] + rng.uniform(-jit, jit, (len(take), 3)) * min_sep).astype(np.float32)
         n_rec = len(rx)
         rh = np.zeros((n_rec, n_rec_feat), np.float32)
-        # protein pockets are C/N/O/S in the first 4 columns of the rec one-hot
-        ridx = rng.choice(4, size=n_rec, p=rec_probs)
-        rh[np.arange(n_rec), np.minimum(ridx, n_rec_feat - 1)] = 1.0
+        if ca_only:
+            # residue-type one-hots (20 AA types, config.py N_AA_TYPES)
+            rh[np.arange(n_rec), rng.integers(0, n_rec_feat, size=n_rec)] = 1.0
+        else:
+            # protein pockets are C/N/O/S in the first 4 columns of the rec one-hot
+            ridx = rng.choice(4, size=n_rec, p=rec_probs)
+            rh[np.arange(n_rec), np.minimum(ridx, n_rec_feat - 1)] = 1.0
 
         n_ip = max(n_lig // 2, 2)
         li = rng.integers(0, n_lig, size=n_ip)
@@ -184,7 +200,11 @@ def molecular_synthetic_dataset(
         lig_feat.append(h)
         rec_pos.append(rx)
         rec_feat.append(rh)
-        res_idx.append(np.sort(rng.integers(0, max(n_rec // 4, 1), size=n_rec)).astype(np.int32))
+        if ca_only:
+            # one node per residue -> distinct residue index per Cα
+            res_idx.append(np.arange(n_rec, dtype=np.int32))
+        else:
+            res_idx.append(np.sort(rng.integers(0, max(n_rec // 4, 1), size=n_rec)).astype(np.int32))
         ips.append(ip)
         rec_seg.append(rec_seg[-1] + n_rec)
         lig_seg.append(lig_seg[-1] + n_lig)

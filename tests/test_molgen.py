@@ -77,3 +77,24 @@ def test_dataset_schema_and_padding():
 def test_probs_normalized_over_subset():
     p = element_probs(["C", "N", "O"])
     assert abs(p.sum() - 1) < 1e-12 and p[0] > 0.5
+
+
+def test_ca_only_dataset():
+    """ca_only mirrors the reference's Cα processing: one node per residue
+    (distinct res_idx), ~3.8 Å nearest-neighbor spacing, residue-type
+    one-hots over the 20 AA channels."""
+    ds = molecular_synthetic_dataset(6, seed=3, lig_elements=ELEMS, n_rec_feat=20,
+                                     lig_range=(8, 16), rec_range=(48, 128),
+                                     ca_only=True)
+    for i in range(6):
+        item = ds.get(i)
+        rx = item["rec_pos"]
+        assert rx.shape[0] >= 30
+        d = np.linalg.norm(rx[:, None] - rx[None], axis=-1)
+        np.fill_diagonal(d, np.inf)
+        assert d.min() > 3.0  # Cα density, not all-atom density
+        rh = item["rec_feat"]
+        assert rh.shape[1] == 20
+        assert (rh.sum(1) == 1).all() and set(rh.argmax(1)) != {0}
+        ri = item["rec_res_idx"]
+        assert len(np.unique(ri)) == len(ri)  # one residue per node
