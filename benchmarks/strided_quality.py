@@ -43,7 +43,7 @@ def main():
     from kpdiff_tpu.cli.sample import _to_complex
     from kpdiff_tpu.config import PaddingConfig, load_config, model_from_config, resolve_feature_sizes
     from kpdiff_tpu.data.dataset import pad_item
-    from kpdiff_tpu.data.molgen import molecular_synthetic_dataset, type_counts
+    from kpdiff_tpu.data.molgen import molgen_splits_for_config, type_counts
     from kpdiff_tpu.training.trainer import TrainConfig, init_train_state, load_checkpoint, make_optimizer
     from kpdiff_tpu.models.complex import synthetic_batch
 
@@ -54,15 +54,10 @@ def main():
     lig_elements = config["dataset"]["lig_elements"]
 
     # the demo runs train on molgen data (seed 42 train / 43 test in the
-    # train CLI); regenerate the same held-out distribution
-    test_ds = molecular_synthetic_dataset(
-        max(args.dataset_size // 8, 4), seed=args.seed, lig_elements=lig_elements,
-        n_rec_feat=n_rec_feat, lig_range=(10, min(32, pad.n_lig)),
-        rec_range=(min(192, pad.n_rec // 2), pad.n_rec))
-    train_ds = molecular_synthetic_dataset(
-        args.dataset_size, seed=args.seed - 1, lig_elements=lig_elements,
-        n_rec_feat=n_rec_feat, lig_range=(10, min(32, pad.n_lig)),
-        rec_range=(min(192, pad.n_rec // 2), pad.n_rec))
+    # train CLI); regenerate the same split distribution — incl. ca_only
+    # Cα geometry — via the shared helper
+    train_ds, test_ds = molgen_splits_for_config(
+        config, pad, n_rec_feat, args.dataset_size, args.seed - 1)
 
     kp_vec = model.cfg.rec_encoder.get("vector_size", 16) if model.cfg.architecture == "gvp" else None
     example = synthetic_batch(

@@ -121,22 +121,10 @@ def main(argv=None):
     # ---- dataset
     ds_cfg = config["dataset"]
     if args.synthetic_mol:
-        from kpdiff_tpu.data.molgen import molecular_synthetic_dataset
+        from kpdiff_tpu.data.molgen import molgen_splits_for_config
 
-        ca_only = bool(ds_cfg.get("ca_only", False))
-        lig_range = (min(10, max(pad.n_lig // 2, 2)), min(32, pad.n_lig))
-        # Cα-only pockets carry one node per residue — far fewer nodes at
-        # ~3.8 Å spacing than all-atom shells (configs pad n_rec=128 there)
-        rec_lo = min(48, pad.n_rec // 2) if ca_only else min(192, pad.n_rec // 2)
-        rec_range = (rec_lo, pad.n_rec)
-        train_ds = molecular_synthetic_dataset(
-            args.synthetic_mol, seed=args.seed, lig_elements=ds_cfg["lig_elements"],
-            n_rec_feat=n_rec_feat, lig_range=lig_range, rec_range=rec_range,
-            ca_only=ca_only)
-        test_ds = molecular_synthetic_dataset(
-            max(args.synthetic_mol // 8, 4), seed=args.seed + 1,
-            lig_elements=ds_cfg["lig_elements"], n_rec_feat=n_rec_feat,
-            lig_range=lig_range, rec_range=rec_range, ca_only=ca_only)
+        train_ds, test_ds = molgen_splits_for_config(
+            config, pad, n_rec_feat, args.synthetic_mol, args.seed)
     elif args.synthetic:
         rec_range = (min(24, pad.n_rec // 2), pad.n_rec)
         lig_range = (min(8, max(pad.n_lig // 2, 2)), pad.n_lig)

@@ -127,6 +127,29 @@ def type_counts(dataset) -> np.ndarray:
     return np.asarray(dataset.lig_feat, np.float64).sum(axis=0)
 
 
+def molgen_splits_for_config(config, pad, n_rec_feat, n_train: int, seed: int):
+    """The train CLI's `--synthetic_mol` split recipe as a reusable helper.
+
+    Benchmarks evaluating a demo run (strided_quality, trained-regime
+    rooflines) must regenerate EXACTLY the distribution the run trained
+    on — including the Cα-density geometry when the config's dataset is
+    ca_only — or the quality metrics measure distribution shift instead
+    of the model. Returns (train_ds, test_ds) with the CLI's seed
+    convention (train = seed, test = seed + 1).
+    """
+    ds_cfg = config["dataset"]
+    ca_only = bool(ds_cfg.get("ca_only", False))
+    lig_range = (min(10, max(pad.n_lig // 2, 2)), min(32, pad.n_lig))
+    # Cα-only pockets carry one node per residue — far fewer nodes at
+    # ~3.8 Å spacing than all-atom shells
+    rec_lo = min(48, pad.n_rec // 2) if ca_only else min(192, pad.n_rec // 2)
+    kw = dict(lig_elements=ds_cfg["lig_elements"], n_rec_feat=n_rec_feat,
+              lig_range=lig_range, rec_range=(rec_lo, pad.n_rec), ca_only=ca_only)
+    train_ds = molecular_synthetic_dataset(n_train, seed=seed, **kw)
+    test_ds = molecular_synthetic_dataset(max(n_train // 8, 4), seed=seed + 1, **kw)
+    return train_ds, test_ds
+
+
 def molecular_synthetic_dataset(
     n_complexes: int,
     seed: int,

@@ -79,6 +79,28 @@ def test_probs_normalized_over_subset():
     assert abs(p.sum() - 1) < 1e-12 and p[0] > 0.5
 
 
+def test_molgen_splits_for_config_ca_only():
+    """The shared split helper (used by the train CLI and the trained-run
+    benchmarks) must propagate the config's ca_only flag and the CLI seed
+    convention (train = seed, test = seed + 1)."""
+    from kpdiff_tpu.data.molgen import molgen_splits_for_config
+
+    class Pad:
+        n_rec, n_lig = 128, 48
+
+    cfg = {"dataset": {"ca_only": True, "lig_elements": ELEMS}}
+    train_ds, test_ds = molgen_splits_for_config(cfg, Pad, 20, 16, seed=42)
+    assert len(train_ds) == 16 and len(test_ds) == 4
+    for ds in (train_ds, test_ds):
+        rx = ds.get(0)["rec_pos"]
+        d = np.linalg.norm(rx[:, None] - rx[None], axis=-1)
+        np.fill_diagonal(d, np.inf)
+        assert d.min() > 3.0  # ca_only reached the generator
+    # same recipe, same seeds -> reproducible split
+    again, _ = molgen_splits_for_config(cfg, Pad, 20, 16, seed=42)
+    np.testing.assert_array_equal(again.get(0)["lig_pos"], train_ds.get(0)["lig_pos"])
+
+
 def test_ca_only_dataset():
     """ca_only mirrors the reference's Cα processing: one node per residue
     (distinct res_idx), ~3.8 Å nearest-neighbor spacing, residue-type
