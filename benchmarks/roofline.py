@@ -153,7 +153,7 @@ def ref_estimate(model, cpx, batch, T=1000):
 
 
 def bench_variant(config, trained_run=None, reps=3, compare_kk=False, dyn_overrides=None,
-                  batch_override=None):
+                  batch_override=None, untrained=False):
     from kpdiff_tpu.config import PaddingConfig, load_config, model_from_config
     from kpdiff_tpu.models.complex import synthetic_batch
 
@@ -188,6 +188,7 @@ def bench_variant(config, trained_run=None, reps=3, compare_kk=False, dyn_overri
         min_sep=1.8,
     )
     params = model100.init(jax.random.key(0), cpx)
+    trained_src = None
     if trained_run is not None:
         from kpdiff_tpu.training.trainer import TrainConfig, init_train_state, load_checkpoint, make_optimizer
 
@@ -195,6 +196,19 @@ def bench_variant(config, trained_run=None, reps=3, compare_kk=False, dyn_overri
         state = init_train_state(model100, opt, jax.random.key(0), cpx)
         state = load_checkpoint(os.path.join(trained_run, "checkpoints"), state)
         params = state.params
+        trained_src = trained_run
+    elif trained_run is None and not dyn_overrides and not untrained:
+        # default to the committed demo archives so the sweep reports the
+        # trained regime reproducibly from the repo alone (bench.py does
+        # the same for the flagship); --untrained/--dyn keep the raw-init
+        # path for layout experiments
+        npz = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                           "artifacts", f"{config}_trained_params.npz")
+        if os.path.exists(npz):
+            from kpdiff_tpu.utils.params_io import load_params_npz
+
+            params = load_params_npz(npz, params)
+            trained_src = npz
 
     enc, kk_raw = jax.jit(model100.encode)(params, cpx)
     kk = model100.compact_kk(enc, kk_raw)
@@ -229,6 +243,7 @@ def bench_variant(config, trained_run=None, reps=3, compare_kk=False, dyn_overri
         "roofline_floor_ms": round(floor_ms, 2),
         "pct_of_floor": round(100 * floor_ms / step_ms, 1),
         "device": kind,
+        **({"trained": trained_src} if trained_src else {}),
         "ref_est": ref,
         "speedup_vs_ref_est": round(ref["s_per_lig"] / (step_ms * model_T / batch / 1e3), 2),
     }
@@ -263,12 +278,14 @@ def main():
     ap.add_argument("--dyn", action="append", default=[], metavar="KEY=VALUE",
                     help="dynamics(-gvp) config overrides, e.g. --dyn nbr_gather=onehot")
     ap.add_argument("--batch", type=int, default=None, help="override the per-variant batch size")
+    ap.add_argument("--untrained", action="store_true",
+                    help="skip the artifacts/<config>_trained_params.npz default (raw-init weights)")
     args = ap.parse_args()
     configs = args.configs or list(SHAPES)
     rows = []
     for c in configs:
         row = bench_variant(c, trained_run=args.trained, compare_kk=args.compare_kk, dyn_overrides=args.dyn,
-                            batch_override=args.batch)
+                            batch_override=args.batch, untrained=args.untrained)
         print(json.dumps(row), flush=True)
         rows.append(row)
     with open(args.out, "w") as f:
