@@ -39,9 +39,15 @@ def parse_args(argv=None):
     p.add_argument("--samples_per_pocket", type=int, default=100)
     p.add_argument("--max_batch_size", type=int, default=128)
     p.add_argument("--n_devices", type=int, default=1,
-                   help="shard each pocket's replicate batch over a data mesh "
-                        "of this many devices (the TPU-native replacement for "
-                        "the reference's SLURM array scale-out)")
+                   help="shard each pocket over a mesh of this many devices "
+                        "(the TPU-native replacement for the reference's "
+                        "SLURM array scale-out)")
+    p.add_argument("--shard_mode", choices=["data", "kp"], default="data",
+                   help="with --n_devices > 1: 'data' shards the replicate "
+                        "batch (throughput); 'kp' shards the keypoint axis "
+                        "(parallel/kp_shard.py) so the kk pair grids split "
+                        "across chips — the latency mode for the heavy "
+                        "ca/all_atom variants and small batches")
     p.add_argument("--max_tries", type=int, default=3)
     p.add_argument("--avg_validity", type=float, default=0.85)
     p.add_argument("--use_ref_lig_com", action="store_true")
@@ -110,8 +116,9 @@ def main(argv=None):
     if args.n_devices > 1:
         from kpdiff_tpu.parallel.mesh import make_mesh, replicated
 
-        mesh = make_mesh(args.n_devices)
-        if batch % args.n_devices:
+        axis = "model" if args.shard_mode == "kp" else "data"
+        mesh = make_mesh(args.n_devices, axis_names=(axis,))
+        if args.shard_mode == "data" and batch % args.n_devices:
             batch = (batch // args.n_devices + 1) * args.n_devices
         params = jax.device_put(params, replicated(mesh))
 
@@ -183,7 +190,7 @@ def main(argv=None):
         else:
             init_com = None
 
-        if mesh is not None:
+        if mesh is not None and args.shard_mode == "data":
             from kpdiff_tpu.parallel.mesh import shard_batch_pytree
 
             cpx = shard_batch_pytree(cpx, mesh)
@@ -193,6 +200,10 @@ def main(argv=None):
         # grid dominates flagship step time
         enc, kk = encode_fn(params, cpx)
         kk = model.compact_kk(enc, kk)
+        if mesh is not None and args.shard_mode == "kp":
+            from kpdiff_tpu.parallel.kp_shard import shard_encoded
+
+            enc, kk = shard_encoded(enc, kk, mesh, axis="model")
 
         mols = []
         n_tries = 0

@@ -32,12 +32,17 @@ class KeypointSampler:
         seed: int = 0,
         sample_steps: int = 0,
         lig_buckets: Optional[List[int]] = None,
+        kp_shard_devices: int = 0,
     ):
         """sample_steps: opt-in strided sampling (K < n_timesteps ancestral
         steps, ~T/K x faster at some quality cost); 0 = full chain.
         lig_buckets: ascending ligand-padding buckets (last must equal the
         config's padding.n_lig); None resolves from the run config or falls
-        back to a multiples-of-8 ladder."""
+        back to a multiples-of-8 ladder.
+        kp_shard_devices: > 1 shards the KEYPOINT axis of the reverse
+        diffusion over that many devices (parallel/kp_shard.py) — the
+        latency mode: per-chip kk pair traffic divides by the mesh size
+        even at batch 1, where data parallelism does nothing."""
         import jax
 
         from kpdiff_tpu.utils.cache import enable_persistent_cache
@@ -96,11 +101,22 @@ class KeypointSampler:
 
         self._kk_cap = 0  # grow-only: one scan compile per cap increase
 
+        self._mesh = None
+        if kp_shard_devices > 1:
+            from kpdiff_tpu.parallel.mesh import make_mesh, replicated
+
+            self._mesh = make_mesh(kp_shard_devices, axis_names=("model",))
+            self.params = jax.device_put(self.params, replicated(self._mesh))
+
         def _run(params, rng, cpx, init_com):
             enc, kk = encode_fn(params, cpx)
             kk = model.compact_kk(enc, kk, min_cap=self._kk_cap)
             if isinstance(kk, tuple):
                 self._kk_cap = max(self._kk_cap, int(kk[0].shape[-1]))
+            if self._mesh is not None:
+                from kpdiff_tpu.parallel.kp_shard import shard_encoded
+
+                enc, kk = shard_encoded(enc, kk, self._mesh, axis="model")
             return sample_fn(params, rng, enc, kk, init_com)
 
         self._run = _run

@@ -107,3 +107,12 @@ def test_sample_cli_multi_device(tmp_path):
         "--max_batch_size", "4", "--max_tries", "1", "--out", str(out), "--n_devices", "4",
     ])
     assert (out / "pocket_0" / "raw_ligands.sdf").exists()
+
+    # keypoint-axis latency mode through the same CLI (parallel/kp_shard.py)
+    out_kp = tmp_path / "sampled_kp"
+    sample_main([
+        "--model_dir", str(run_dir), "--synthetic", "1", "--samples_per_pocket", "4",
+        "--max_batch_size", "4", "--max_tries", "1", "--out", str(out_kp),
+        "--n_devices", "8", "--shard_mode", "kp",
+    ])
+    assert (out_kp / "pocket_0" / "raw_ligands.sdf").exists()

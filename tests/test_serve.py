@@ -50,3 +50,12 @@ def test_keypoint_sampler(tmp_path):
     sampler.sample_for_arrays(rec_pos, rec_feat, n_mols=2, ligand_size=12)
     assert seen == [8, 16]
     sampler._run = inner
+
+    # latency mode: keypoint-axis model parallelism over the 8-device mesh
+    # (parallel/kp_shard.py) — same pipeline, kp-sharded reverse diffusion
+    sampler_kp = KeypointSampler(run_dir, batch_size=4, seed=0, kp_shard_devices=8)
+    assert sampler_kp._mesh is not None
+    mols3 = sampler_kp.sample_for_arrays(rec_pos, rec_feat, n_mols=4, ligand_size=6)
+    assert isinstance(mols3, list)
+    for m in mols3:
+        assert np.all(np.isfinite(m.coords))
