@@ -283,13 +283,19 @@ class KeypointDiffusion:
         rng: jax.Array,
         cpx: PaddedComplex,
         t_eps_override: Optional[Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]] = None,
+        kp_constraint=None,
     ) -> Dict[str, jnp.ndarray]:
         """Training losses; mirrors reference forward (ligand_diffuser.py:89-175).
 
         `t_eps_override` = (t_int (B,), eps_x (B,N,3), eps_h (B,N,F)) replaces
         the internal draws — the chain-parity seam that lets the loss be
         evaluated on the exact timesteps/noise fed to the reference's forward
-        (tests/test_reference_chain.py). Training never sets it."""
+        (tests/test_reference_chain.py). Training never sets it.
+
+        `kp_constraint`: optional (cpx, kk) -> (cpx, kk) applied right after
+        the in-loss encode — the dp x mp training seam
+        (parallel/kp_shard.py::kp_constraint_fn shards the keypoint axis so
+        the dynamics' pair grids row-shard across a 'model' mesh axis)."""
         cfg = self.cfg
         b = cpx.batch_size
 
@@ -304,6 +310,8 @@ class KeypointDiffusion:
             else None
         )
         cpx, kk = self.encode(params, cpx, dropout_rng=enc_drop)
+        if kp_constraint is not None:
+            cpx, kk = kp_constraint(cpx, kk)
 
         losses: Dict[str, jnp.ndarray] = {}
         losses["rec_encoder"] = self._rec_encoder_loss(cpx)

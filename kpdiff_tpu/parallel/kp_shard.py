@@ -106,3 +106,50 @@ def shard_encoded(enc, kk, mesh: Mesh, axis: str = "model",
         params = jax.tree_util.tree_map(lambda x: jax.device_put(x, repl), params)
         return enc, kk, params
     return enc, kk
+
+
+def kp_constraint_fn(mesh: Mesh, axis: str = "model", batch_axis: str = "data"):
+    """Returns a (cpx, kk) -> (cpx, kk) callable applying
+    `with_sharding_constraint` to the keypoint axis — the in-jit analog of
+    shard_encoded for the TRAINING loss, where the encoder runs inside the
+    differentiated step (model.loss(kp_constraint=...) seam). The encoder
+    itself stays batch-parallel; its (B, K, H)-sized outputs reshard once,
+    and the dynamics' (B, K, K, H) pair grids (and their gradients — the
+    constraint transposes to itself) row-shard over `axis`.
+
+    K must divide the axis size here: in-jit padding would change every
+    downstream shape. The block kk layout is left unconstrained (its tile
+    axis is not row-divisible); GSPMD still chooses a layout, correctness
+    is unaffected."""
+    from jax.lax import with_sharding_constraint as wsc
+
+    def c(x, kp_dim=None):
+        if x is None:
+            return None
+        spec = [None] * x.ndim
+        if batch_axis in mesh.axis_names:
+            spec[0] = batch_axis
+        if kp_dim is not None:
+            spec[kp_dim] = axis
+        return wsc(x, NamedSharding(mesh, P(*spec)))
+
+    n = mesh.shape[axis]
+
+    def apply(cpx, kk):
+        K = cpx.kp_x.shape[1]
+        if K % n:
+            raise ValueError(
+                f"n_keypoints {K} must be divisible by the '{axis}' mesh axis "
+                f"size {n} for kp-sharded training (sampling pads instead — "
+                "shard_encoded)")
+        cpx = cpx.replace(
+            kp_x=c(cpx.kp_x, 1), kp_h=c(cpx.kp_h, 1), kp_mask=c(cpx.kp_mask, 1),
+            kp_v=c(cpx.kp_v, 1),
+        )
+        if isinstance(kk, tuple):
+            kk = tuple(c(a, 1) for a in kk)
+        elif isinstance(kk, jnp.ndarray) and kk.ndim == 3:
+            kk = c(kk, 1)
+        return cpx, kk
+
+    return apply

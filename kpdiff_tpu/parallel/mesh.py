@@ -17,11 +17,18 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_mesh(n_devices: Optional[int] = None, axis_names: Sequence[str] = ("data",)) -> Mesh:
+def make_mesh(n_devices: Optional[int] = None, axis_names: Sequence[str] = ("data",),
+              axis_sizes: Optional[Sequence[int]] = None) -> Mesh:
+    """axis_sizes: explicit per-axis device counts (e.g. (2, 4) for a
+    dp x mp mesh); default puts every device on the first axis."""
     devices = jax.devices()
     if n_devices is not None:
         devices = devices[:n_devices]
-    shape = (len(devices),) + (1,) * (len(axis_names) - 1)
+    if axis_sizes is None:
+        shape = (len(devices),) + (1,) * (len(axis_names) - 1)
+    else:
+        shape = tuple(axis_sizes)
+        devices = devices[: int(np.prod(shape))]
     return Mesh(np.array(devices).reshape(shape), axis_names)
 
 

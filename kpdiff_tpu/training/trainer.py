@@ -84,9 +84,23 @@ def make_train_step(
     optimizer,
     iters_per_epoch: int,
     mesh=None,
+    kp_axis: Optional[str] = None,
 ):
-    """Returns a jitted (state, rng, batch) -> (state, metrics) step."""
+    """Returns a jitted (state, rng, batch) -> (state, metrics) step.
+
+    kp_axis: name of a mesh axis to shard the KEYPOINT dimension over
+    (dp x mp training, parallel/kp_shard.py::kp_constraint_fn) — the
+    dynamics' pair grids and their gradients row-shard across it while
+    the batch stays on 'data'."""
     sched = cfg.scheduler
+
+    kp_constraint = None
+    if kp_axis is not None:
+        if mesh is None or kp_axis not in mesh.axis_names:
+            raise ValueError(f"kp_axis={kp_axis!r} requires a mesh with that axis")
+        from kpdiff_tpu.parallel.kp_shard import kp_constraint_fn
+
+        kp_constraint = kp_constraint_fn(mesh, axis=kp_axis)
 
     def step_fn(state: TrainState, rng, batch):
         epoch_exact = state.step.astype(jnp.float32) / iters_per_epoch
@@ -94,7 +108,7 @@ def make_train_step(
         lr = learning_rate(sched, epoch_exact)
 
         def full_loss(params):
-            losses = model.loss(params, rng, batch)
+            losses = model.loss(params, rng, batch, kp_constraint=kp_constraint)
             total = losses["l2"] + w_rec * losses["rec_encoder"]
             if "rl_hinge" in losses:
                 total = total + cfg.rl_hinge_loss_weight * losses["rl_hinge"]

@@ -265,3 +265,44 @@ def test_metrics_log_resume_appends(tmp_path):
     rows = pickle.load(open(p, "rb"))
     assert [r["epoch"] for r in rows] == [0.5, 1.0]
     assert rows[1]["time_passed"] >= rows[0]["time_passed"]
+
+
+@pytest.mark.slow
+def test_dp_x_mp_train_step_matches_single_device():
+    """dp2 x mp4 mesh: batch on 'data' AND keypoint axis on 'model'
+    (make_train_step(kp_axis=...) -> kp_constraint_fn). Same update as the
+    single-device step up to collective reduction order."""
+    assert jax.device_count() >= 8
+    model = tiny_model()
+    cpx = synthetic_batch(11, batch=8, n_rec_pad=24, n_lig_pad=10, n_kp=24, kp_feat_dim=10)
+    tcfg = TrainConfig(learning_rate=1e-3, scheduler=SchedulerConfig(base_lr=1e-3))
+    opt = make_optimizer(tcfg)
+    state = init_train_state(model, opt, jax.random.key(2), cpx)
+
+    step_single = make_train_step(model, tcfg, opt, iters_per_epoch=10)
+    s1, m1 = step_single(state, jax.random.key(3), cpx)
+
+    mesh = make_mesh(8, axis_names=("data", "model"), axis_sizes=(2, 4))
+    step_mp = make_train_step(model, tcfg, opt, iters_per_epoch=10, mesh=mesh,
+                              kp_axis="model")
+    state2 = init_train_state(model, opt, jax.random.key(2), cpx)
+    cpx_sharded = shard_batch_pytree(cpx, mesh)
+    s2, m2 = step_mp(state2, jax.random.key(3), cpx_sharded)
+
+    np.testing.assert_allclose(float(m1["l2"]), float(m2["l2"]), rtol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5)
+
+
+def test_kp_axis_requires_divisible_keypoints():
+    # fixed encoder: kp capacity = n_rec_pad (20, not divisible by 8)
+    model = tiny_model()
+    cpx = synthetic_batch(11, batch=8, n_rec_pad=20, n_lig_pad=10, n_kp=20, kp_feat_dim=10)
+    tcfg = TrainConfig(learning_rate=1e-3, scheduler=SchedulerConfig(base_lr=1e-3))
+    opt = make_optimizer(tcfg)
+    state = init_train_state(model, opt, jax.random.key(2), cpx)
+    mesh = make_mesh(8, axis_names=("data", "model"), axis_sizes=(1, 8))
+    step = make_train_step(model, tcfg, opt, iters_per_epoch=10, mesh=mesh, kp_axis="model")
+    with pytest.raises(ValueError, match="divisible"):
+        step(state, jax.random.key(3), shard_batch_pytree(cpx, mesh))
