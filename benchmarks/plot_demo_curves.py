@@ -19,9 +19,8 @@ import argparse
 import glob
 import os
 import pickle
-import sys
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 import matplotlib
 
@@ -80,6 +79,10 @@ def plot_gvp(run_dir, out_png):
     tr_l2 = np.array([r["l2"] for r in train])
     te = [(r["epoch"], r["test_l2"]) for r in test if "test_l2" in r]
     mol = [(r["mol_epoch"], r) for r in test if "mol_connectivity" in r]
+    if len(tr_l2) < 2 or not mol:
+        print(f"skip {run_dir}: incomplete metric pickles "
+              f"({len(tr_l2)} train rows, {len(mol)} analyzer rows)")
+        return
 
     fig, axes = plt.subplots(1, 3, figsize=(11.5, 3.2), dpi=160)
     fig.subplots_adjust(left=0.06, right=0.985, bottom=0.16, top=0.86, wspace=0.28)
@@ -147,12 +150,14 @@ def plot_egnn(out_png):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--out", default="artifacts")
+    ap.add_argument("--out", default=os.path.join(REPO, "artifacts"))
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
-    gvp = sorted(glob.glob("runs/demo_r3_gvp40kp_*"))
+    gvp = sorted(glob.glob(os.path.join(REPO, "runs", "demo_r3_gvp40kp_*")))
     if gvp:
         plot_gvp(gvp[-1], os.path.join(args.out, "demo_gvp40kp_curves.png"))
+    else:
+        print("no runs/demo_r3_gvp40kp_* run dir found — GVP figure skipped")
     plot_egnn(os.path.join(args.out, "demo_egnn40kp_curves.png"))
 
 

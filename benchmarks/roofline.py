@@ -209,6 +209,9 @@ def bench_variant(config, trained_run=None, reps=3, compare_kk=False, dyn_overri
 
             params = load_params_npz(npz, params)
             trained_src = npz
+        else:
+            print(f"# {config}: no trained archive ({npz}) — raw-init weights; "
+                  "row will carry no 'trained' key", flush=True)
 
     enc, kk_raw = jax.jit(model100.encode)(params, cpx)
     kk = model100.compact_kk(enc, kk_raw)

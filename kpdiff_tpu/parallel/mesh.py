@@ -23,6 +23,11 @@ def make_mesh(n_devices: Optional[int] = None, axis_names: Sequence[str] = ("dat
     dp x mp mesh); default puts every device on the first axis."""
     devices = jax.devices()
     if n_devices is not None:
+        if n_devices > len(devices):
+            raise ValueError(
+                f"requested a {n_devices}-device mesh but only "
+                f"{len(devices)} device(s) are visible — a silently "
+                "truncated mesh would no-op the requested sharding")
         devices = devices[:n_devices]
     if axis_sizes is None:
         shape = (len(devices),) + (1,) * (len(axis_names) - 1)
