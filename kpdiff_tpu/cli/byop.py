@@ -30,6 +30,10 @@ def parse_args(argv=None):
                         "0 = full chain. K=250 matches full-chain quality at 4x "
                         "speed on the trained flagship (see STRIDED_QUALITY.json)")
     p.add_argument("--max_batch_size", type=int, default=64)
+    p.add_argument("--kp_shard_devices", type=int, default=0,
+                   help="shard the keypoint axis of the reverse diffusion over "
+                        "this many devices (parallel/kp_shard.py) — the "
+                        "single-pocket latency mode")
     p.add_argument("--ligand_size", type=str, default="random",
                    help="'random' (joint size dist), 'ref' (reference ligand count), or an integer")
     p.add_argument("--seed", type=int, default=0)
@@ -142,11 +146,22 @@ def main(argv=None):
                         model.sample(params, rng, enc, kk, init_com=init_com,
                                      sample_steps=args.sample_steps))
 
+    mesh = None
+    if args.kp_shard_devices > 1:
+        from kpdiff_tpu.parallel.mesh import make_mesh, replicated
+
+        mesh = make_mesh(args.kp_shard_devices, axis_names=("model",))
+        params = jax.device_put(params, replicated(mesh))
+
     def sample_batch(params, rng, cpx, init_com):
         # encode once per batch; compact the static kk edges to the exact
         # capped neighbor list before the reverse-diffusion scan
         enc, kk = encode_fn(params, cpx)
         kk = model.compact_kk(enc, kk)
+        if mesh is not None:
+            from kpdiff_tpu.parallel.kp_shard import shard_encoded
+
+            enc, kk = shard_encoded(enc, kk, mesh, axis="model")
         return sample_fn(params, rng, enc, kk, init_com), enc
 
     out_dir = Path(args.out)

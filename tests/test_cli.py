@@ -159,6 +159,16 @@ def test_byop_cli(trained_run, tmp_path):
     assert (out / "pocket.pdb").exists()
     assert (out / "raw_ligands.sdf").exists()
 
+    # single-pocket latency mode: keypoint axis sharded over the CPU mesh
+    out_kp = tmp_path / "byop_out_kp"
+    byop_main([
+        "--model_dir", str(trained_run), "--receptor_file", str(pdb_path),
+        "--ligand_file", str(sdf_path), "--out", str(out_kp),
+        "--n_mols", "4", "--max_batch_size", "4", "--ligand_size", "ref",
+        "--kp_shard_devices", "8",
+    ])
+    assert (out_kp / "raw_ligands.sdf").exists()
+
 
 def test_process_bindingmoad_pipeline(tmp_path):
     from kpdiff_tpu.cli.process_bindingmoad import main as proc_main
