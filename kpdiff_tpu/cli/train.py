@@ -38,6 +38,12 @@ def parse_args(argv=None):
     p.add_argument("--dataset_size", type=int, default=None)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--n_devices", type=int, default=0, help="0 = all visible devices")
+    p.add_argument("--mp_devices", type=int, default=1,
+                   help="> 1 trains on a dp x mp mesh: the keypoint axis (and "
+                        "with it the dynamics' pair grids + gradients) shards "
+                        "over this many devices while the batch stays "
+                        "data-parallel (parallel/kp_shard.py); must divide "
+                        "n_devices, and n_keypoints must divide it")
     p.add_argument("--profile_dir", type=str, default=None,
                    help="write a jax.profiler device trace of steps 10-15 to this dir")
     p.add_argument(
@@ -193,8 +199,20 @@ def main(argv=None):
         print(f"resumed from step {int(state.step)}", flush=True)
 
     n_dev = args.n_devices or len(jax.devices())
-    mesh = make_mesh(n_dev) if n_dev > 1 else None
-    step_fn = make_train_step(model, tcfg, optimizer, iters_per_epoch, mesh=mesh)
+    kp_axis = None
+    if args.mp_devices > 1:
+        # dp x mp: batch on 'data', keypoint axis on 'model'
+        # (parallel/kp_shard.py::kp_constraint_fn inside the jitted loss)
+        if n_dev % args.mp_devices:
+            raise SystemExit(f"--mp_devices {args.mp_devices} must divide the "
+                             f"device count {n_dev}")
+        mesh = make_mesh(n_dev, axis_names=("data", "model"),
+                         axis_sizes=(n_dev // args.mp_devices, args.mp_devices))
+        kp_axis = "model"
+    else:
+        mesh = make_mesh(n_dev) if n_dev > 1 else None
+    step_fn = make_train_step(model, tcfg, optimizer, iters_per_epoch, mesh=mesh,
+                              kp_axis=kp_axis)
 
     train_log = MetricsLog(run_dir / "train_metrics.pkl")
     test_log = MetricsLog(run_dir / "test_metrics.pkl")

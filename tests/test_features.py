@@ -116,3 +116,24 @@ def test_sample_cli_multi_device(tmp_path):
         "--n_devices", "8", "--shard_mode", "kp",
     ])
     assert (out_kp / "pocket_0" / "raw_ligands.sdf").exists()
+
+
+@pytest.mark.slow
+def test_train_cli_dp_x_mp(tmp_path):
+    """--mp_devices trains on a dp x mp mesh end-to-end through the CLI
+    (batch on 'data', keypoint axis on 'model')."""
+    import yaml
+    from tests.test_cli import TINY_CONFIG
+    from kpdiff_tpu.cli.train import main as train_main
+
+    cfg = dict(TINY_CONFIG)
+    cfg["experiment"] = {"name": "dpxmp", "results_dir": str(tmp_path)}
+    cfg_path = tmp_path / "dpxmp.yml"
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    run_dir, state = train_main(["--config", str(cfg_path), "--synthetic", "8",
+                                 "--n_devices", "8", "--mp_devices", "2"])
+    assert int(state.step) > 0
+    import numpy as np
+    for leaf in __import__("jax").tree_util.tree_leaves(state.params):
+        assert np.all(np.isfinite(np.asarray(leaf)))
