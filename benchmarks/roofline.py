@@ -78,10 +78,21 @@ def chip_peaks():
 
 
 def _cost(fn, *args):
-    ca = fn.lower(*args).compile().cost_analysis()
+    compiled = fn.lower(*args).compile()
+    ca = compiled.cost_analysis()
     if isinstance(ca, list):
         ca = ca[0]
-    return float(ca.get("flops", 0.0)), float(ca.get("bytes accessed", 0.0))
+    mem = None
+    try:  # per-device footprint of the T=1 program (serving HBM evidence)
+        ma = compiled.memory_analysis()
+        mem = {
+            "args_bytes": int(ma.argument_size_in_bytes),
+            "temp_bytes": int(ma.temp_size_in_bytes),
+            "output_bytes": int(ma.output_size_in_bytes),
+        }
+    except Exception:
+        pass
+    return float(ca.get("flops", 0.0)), float(ca.get("bytes accessed", 0.0)), mem
 
 
 def reference_edge_counts(cpx, model):
@@ -219,7 +230,7 @@ def bench_variant(config, trained_run=None, reps=3, compare_kk=False, dyn_overri
 
     s100 = jax.jit(lambda p, r, e, k: model100.sample(p, r, e, k))
     s1 = jax.jit(lambda p, r, e, k: model1.sample(p, r, e, k))
-    flops_step, bytes_step = _cost(s1, params, jax.random.key(1), enc, kk)
+    flops_step, bytes_step, mem_step = _cost(s1, params, jax.random.key(1), enc, kk)
 
     out = s100(params, jax.random.key(1), enc, kk)
     np.asarray(out["lig_x"])  # force completion (axon block_until_ready no-op)
@@ -247,6 +258,7 @@ def bench_variant(config, trained_run=None, reps=3, compare_kk=False, dyn_overri
         "pct_of_floor": round(100 * floor_ms / step_ms, 1),
         "device": kind,
         **({"trained": trained_src} if trained_src else {}),
+        **({"memory": mem_step} if mem_step else {}),
         "ref_est": ref,
         "speedup_vs_ref_est": round(ref["s_per_lig"] / (step_ms * model_T / batch / 1e3), 2),
     }

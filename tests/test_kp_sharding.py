@@ -165,3 +165,27 @@ def test_kp_sharded_sample_gvp():
     enc_s, kk_s, params_s = shard_encoded(enc, kk, _mesh(), params=params)
     out1 = f(params_s, jax.random.key(1), enc_s, kk_s)
     _assert_close(out1, out0, rel=5e-4)
+
+
+def test_pad_kp_nbr_tuple_rows():
+    """pad_kp on a capped neighbor list: appended rows are masked-off and
+    existing indices are untouched (they keep referring to unmoved rows)."""
+    import jax.numpy as jnp
+    from kpdiff_tpu.models.complex import PaddedComplex
+
+    B, K, C = 2, 20, 6
+    enc = PaddedComplex(
+        rec_x=jnp.zeros((B, 4, 3)), rec_h=jnp.zeros((B, 4, 5)),
+        rec_mask=jnp.ones((B, 4), bool), rec_res_idx=jnp.zeros((B, 4), jnp.int32),
+        lig_x=jnp.zeros((B, 8, 3)), lig_h=jnp.zeros((B, 8, 5)),
+        lig_mask=jnp.ones((B, 8), bool),
+        kp_x=jnp.ones((B, K, 3)), kp_h=jnp.ones((B, K, 7)),
+        kp_mask=jnp.ones((B, K), bool),
+    )
+    idx = jnp.tile(jnp.arange(C, dtype=jnp.int32), (B, K, 1))
+    mask = jnp.ones((B, K, C), bool)
+    enc_p, (idx_p, mask_p) = pad_kp(enc, (idx, mask), 8)
+    assert enc_p.kp_x.shape[1] == 24 and idx_p.shape == (B, 24, C)
+    assert not bool(mask_p[:, K:].any()) and not bool(enc_p.kp_mask[:, K:].any())
+    np.testing.assert_array_equal(np.asarray(idx_p[:, :K]), np.asarray(idx))
+    assert bool(mask_p[:, :K].all())
