@@ -72,7 +72,8 @@ def _quality_panels(ax_q, ax_kl, ep, conn, frag, uniq, kl, marker=None, ms=4.5):
     _label_end(ax_kl, ep, np.maximum(kl, 1e-4), "KL", S4)
 
 
-def plot_gvp(run_dir, out_png):
+def plot_run(run_dir, out_png, label):
+    """Any demo run with full-resolution metric pickles."""
     train = pickle.load(open(os.path.join(run_dir, "train_metrics.pkl"), "rb"))
     test = pickle.load(open(os.path.join(run_dir, "test_metrics.pkl"), "rb"))
     tr_ep = np.array([r["epoch"] for r in train])
@@ -108,7 +109,7 @@ def plot_gvp(run_dir, out_png):
                     np.array([r["mol_avg_frag_frac"] for _, r in mol]),
                     np.array([r["mol_uniqueness"] for _, r in mol]),
                     np.array([r["mol_atom_type_kl"] for _, r in mol]))
-    fig.suptitle("gvp_40kp trained demo — 160 epochs on molgen synthetic data "
+    fig.suptitle(f"{label} trained demo on molgen synthetic data "
                  f"({os.path.basename(run_dir)})", x=0.06, ha="left", fontsize=10)
     fig.savefig(out_png, facecolor=SURFACE)
     print("wrote", out_png)
@@ -153,11 +154,16 @@ def main():
     ap.add_argument("--out", default=os.path.join(REPO, "artifacts"))
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
-    gvp = sorted(glob.glob(os.path.join(REPO, "runs", "demo_r3_gvp40kp_*")))
-    if gvp:
-        plot_gvp(gvp[-1], os.path.join(args.out, "demo_gvp40kp_curves.png"))
-    else:
-        print("no runs/demo_r3_gvp40kp_* run dir found — GVP figure skipped")
+    for pat, label, png in [
+        ("demo_r3_gvp40kp_*", "gvp_40kp (160 epochs)", "demo_gvp40kp_curves.png"),
+        ("demo_r3_egnnca_*", "egnn_ca (ca_only fixed encoder)", "demo_egnnca_curves.png"),
+        ("demo_r3_egnnaa_*", "egnn_all_atom (fixed encoder)", "demo_egnnaa_curves.png"),
+    ]:
+        runs = sorted(glob.glob(os.path.join(REPO, "runs", pat)))
+        if runs:
+            plot_run(runs[-1], os.path.join(args.out, png), label)
+        else:
+            print(f"no runs/{pat} run dir — figure skipped")
     plot_egnn(os.path.join(args.out, "demo_egnn40kp_curves.png"))
 
 
