@@ -74,8 +74,12 @@ def _quality_panels(ax_q, ax_kl, ep, conn, frag, uniq, kl, marker=None, ms=4.5):
 
 def plot_run(run_dir, out_png, label):
     """Any demo run with full-resolution metric pickles."""
-    train = pickle.load(open(os.path.join(run_dir, "train_metrics.pkl"), "rb"))
-    test = pickle.load(open(os.path.join(run_dir, "test_metrics.pkl"), "rb"))
+    try:
+        train = pickle.load(open(os.path.join(run_dir, "train_metrics.pkl"), "rb"))
+        test = pickle.load(open(os.path.join(run_dir, "test_metrics.pkl"), "rb"))
+    except FileNotFoundError as e:
+        print(f"skip {run_dir}: {e}")
+        return
     tr_ep = np.array([r["epoch"] for r in train])
     tr_l2 = np.array([r["l2"] for r in train])
     te = [(r["epoch"], r["test_l2"]) for r in test if "test_l2" in r]
