@@ -8,8 +8,13 @@ the same held-out molgen pockets and reports the in-training analyzer
 metrics (validity, connectivity, avg fragment fraction, uniqueness,
 atom-type KL) plus measured seconds per molecule.
 
+`--eta` additionally evaluates the generalized-DDIM sampler at each K
+(eta=1 ancestral default; eta=0 deterministic DDIM — the few-step-friendly
+update, models/diffusion.py sample()).
+
 Usage: python benchmarks/strided_quality.py RUNDIR [--ks 50,100,250,1000]
-       [--n_receptors 8] [--n_replicates 12] [--out STRIDED_QUALITY.json]
+       [--eta 1.0] [--n_receptors 8] [--n_replicates 12]
+       [--out STRIDED_QUALITY.json]
 """
 import os
 import sys
@@ -32,6 +37,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("run_dir")
     ap.add_argument("--ks", default="50,100,250,1000")
+    ap.add_argument("--eta", type=float, default=1.0,
+                    help="DDIM noise scale for every row (1.0 = ancestral)")
     ap.add_argument("--n_receptors", type=int, default=8)
     ap.add_argument("--n_replicates", type=int, default=12)
     ap.add_argument("--dataset_size", type=int, default=4096)  # train-CLI default split sizes
@@ -86,7 +93,8 @@ def main():
 
     rows = []
     for K in [int(k) for k in args.ks.split(",")]:
-        fn = jax.jit(lambda p, r, e, kk_, K=K: model.sample(p, r, e, kk_, sample_steps=K))
+        fn = jax.jit(lambda p, r, e, kk_, K=K: model.sample(
+            p, r, e, kk_, sample_steps=K, eta=args.eta))
         out = fn(params, jax.random.key(100 + K), enc, kk)
         np.asarray(out["lig_x"])  # force
         t0 = time.time()
@@ -102,7 +110,7 @@ def main():
             positions.append(lig_x[b][m])
             elements.append([lig_elements[j] for j in feats.argmax(1)])
         metrics = evaluate_samples(positions, elements, train_type_counts=tc, element_list=lig_elements)
-        row = {"K": K, "sec_per_mol": round(dt / max(len(positions), 1), 4)}
+        row = {"K": K, "eta": args.eta, "sec_per_mol": round(dt / max(len(positions), 1), 4)}
         row.update({k: (round(v, 4) if isinstance(v, float) else v) for k, v in metrics.items()})
         print(json.dumps(row), flush=True)
         rows.append(row)

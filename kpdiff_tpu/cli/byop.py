@@ -29,6 +29,10 @@ def parse_args(argv=None):
                    help="opt-in strided sampling (K < n_timesteps ancestral steps); "
                         "0 = full chain. K=250 matches full-chain quality at 4x "
                         "speed on the trained flagship (see STRIDED_QUALITY.json)")
+    p.add_argument("--eta", type=float, default=1.0,
+                   help="DDIM noise scale: 1.0 (default) = the reference's "
+                        "ancestral chain (bit-exact); 0.0 = deterministic DDIM, "
+                        "pair with --sample_steps for few-step sampling")
     p.add_argument("--max_batch_size", type=int, default=64)
     p.add_argument("--kp_shard_devices", type=int, default=0,
                    help="shard the keypoint axis of the reverse diffusion over "
@@ -144,7 +148,7 @@ def main(argv=None):
     encode_fn = jax.jit(model.encode)
     sample_fn = jax.jit(lambda params, rng, enc, kk, init_com:
                         model.sample(params, rng, enc, kk, init_com=init_com,
-                                     sample_steps=args.sample_steps))
+                                     sample_steps=args.sample_steps, eta=args.eta))
 
     mesh = None
     if args.kp_shard_devices > 1:

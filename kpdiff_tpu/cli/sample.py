@@ -61,6 +61,12 @@ def parse_args(argv=None):
                         "(STRIDED_QUALITY.json): K=250 matches the full chain on "
                         "every quality metric at 4x speed (recommended); K=100 is "
                         "within a few points at 10x")
+    p.add_argument("--eta", type=float, default=1.0,
+                   help="DDIM noise scale (arXiv:2010.02502): 1.0 (default) = the "
+                        "reference's ancestral DDPM chain, bit-exact; 0.0 = "
+                        "deterministic DDIM — pair with --sample_steps for "
+                        "few-step sampling (the deterministic update composes "
+                        "exactly under striding)")
     p.add_argument("--visualize", action="store_true")
     p.add_argument("--frames_every", type=int, default=50)
     p.add_argument("--seed", type=int, default=0)
@@ -128,7 +134,7 @@ def main(argv=None):
     def sample_fn(params, rng, enc, kk, init_com):
         return model.sample(params, rng, enc, kk, init_com=init_com,
                             return_every=args.frames_every if args.visualize else 0,
-                            sample_steps=args.sample_steps)
+                            sample_steps=args.sample_steps, eta=args.eta)
 
 
 

@@ -429,6 +429,7 @@ class KeypointDiffusion:
         init_com: Optional[jnp.ndarray] = None,
         return_every: int = 0,
         sample_steps: int = 0,
+        eta: float = 1.0,
         noise: Optional[Dict[str, jnp.ndarray]] = None,
     ):
         """Reverse diffusion from encoded receptors; one lax.scan over T steps
@@ -444,6 +445,20 @@ class KeypointDiffusion:
         (sigma_and_alpha_t_given_s) is exact for ANY t > s, so this is the
         standard subsampled-DDPM sampler — ~T/K x faster at some sample
         quality cost. 0 (default) = the reference's full T-step chain.
+
+        `eta` (opt-in, BEYOND the reference): generalized DDIM noise scale
+        (Song et al. 2021, arXiv:2010.02502). The per-step update becomes
+            z_s = alpha_s * x_hat + sqrt(sigma_s^2 - sig_n^2) * eps_hat
+                  + sig_n * n,     sig_n = eta * sigma_ts*sigma_s/sigma_t,
+        with x_hat = (z_t - sigma_t*eps_hat)/alpha_t. eta=1 is algebraically
+        the DDPM ancestral step (the posterior-mean identity
+        alpha_s*x_hat + (alpha_ts*sigma_s^2/sigma_t)*eps_hat == mu_posterior),
+        and the code KEEPS the reference's ancestral formula verbatim at
+        eta==1.0 so the default chain stays bit-exact. eta=0 is the
+        deterministic DDIM ODE step — the right companion to `sample_steps`,
+        because the deterministic update composes exactly under striding
+        (tests/test_ddim.py), where the stochastic chain loses ancestral
+        granularity.
 
         `noise`: optional pre-drawn gaussians replacing every internal draw —
         the chain-parity seam (tests/test_reference_chain.py) that lets this
@@ -502,11 +517,25 @@ class KeypointDiffusion:
                 sampling=True,
             )
 
-            var_term = (sigma2_ts / alpha_ts / sigma_t)[:, None, None]
-            a_ts = alpha_ts[:, None, None]
-            mu_x = lig_x / a_ts - var_term * eps_x
-            mu_h = lig_h / a_ts - var_term * eps_h
-            sigma = (sigma_ts * sigma_s / sigma_t)[:, None, None]
+            if eta == 1.0:
+                # reference ancestral step, kept verbatim for bit-exactness
+                var_term = (sigma2_ts / alpha_ts / sigma_t)[:, None, None]
+                a_ts = alpha_ts[:, None, None]
+                mu_x = lig_x / a_ts - var_term * eps_x
+                mu_h = lig_h / a_ts - var_term * eps_h
+                sigma = (sigma_ts * sigma_s / sigma_t)[:, None, None]
+            else:
+                # generalized DDIM: denoise to x_hat, re-noise toward s with
+                # direction eps_hat and noise scale eta * (ancestral sigma)
+                alpha_s = alpha_from_gamma(gamma_s)[:, None, None]
+                alpha_t = alpha_from_gamma(gamma_t)[:, None, None]
+                sig_t = sigma_t[:, None, None]
+                sig_s = sigma_s[:, None, None]
+                sig_n = eta * (sigma_ts * sigma_s / sigma_t)[:, None, None]
+                dir_coef = jnp.sqrt(jnp.maximum(sig_s**2 - sig_n**2, 0.0))
+                mu_x = alpha_s * (lig_x - sig_t * eps_x) / alpha_t + dir_coef * eps_x
+                mu_h = alpha_s * (lig_h - sig_t * eps_h) / alpha_t + dir_coef * eps_h
+                sigma = sig_n
 
             if step_noise is not None:
                 n_x, n_h = step_noise

@@ -31,11 +31,14 @@ class KeypointSampler:
         batch_size: int = 64,
         seed: int = 0,
         sample_steps: int = 0,
+        eta: float = 1.0,
         lig_buckets: Optional[List[int]] = None,
         kp_shard_devices: int = 0,
     ):
         """sample_steps: opt-in strided sampling (K < n_timesteps ancestral
         steps, ~T/K x faster at some quality cost); 0 = full chain.
+        eta: DDIM noise scale — 1.0 (default) keeps the reference's ancestral
+        chain bit-exact; 0.0 is deterministic DDIM (pair with sample_steps).
         lig_buckets: ascending ligand-padding buckets (last must equal the
         config's padding.n_lig); None resolves from the run config or falls
         back to a multiples-of-8 ladder.
@@ -97,7 +100,7 @@ class KeypointSampler:
         encode_fn = jax.jit(model.encode)
         sample_fn = jax.jit(lambda params, rng, enc, kk, init_com:
                             model.sample(params, rng, enc, kk, init_com=init_com,
-                                         sample_steps=sample_steps))
+                                         sample_steps=sample_steps, eta=eta))
 
         self._kk_cap = 0  # grow-only: one scan compile per cap increase
 
