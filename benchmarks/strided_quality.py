@@ -39,6 +39,11 @@ def main():
     ap.add_argument("--ks", default="50,100,250,1000")
     ap.add_argument("--eta", type=float, default=1.0,
                     help="DDIM noise scale for every row (1.0 = ancestral)")
+    ap.add_argument("--params_npz", default=None,
+                    help="load params from a flat-npz archive (cli.export_params "
+                         "output, e.g. artifacts/*_trained_params.npz) instead of "
+                         "the run dir's latest orbax checkpoint — the committed "
+                         "final-step artifacts outlive pruned checkpoints")
     ap.add_argument("--n_receptors", type=int, default=8)
     ap.add_argument("--n_replicates", type=int, default=12)
     ap.add_argument("--dataset_size", type=int, default=4096)  # train-CLI default split sizes
@@ -73,9 +78,17 @@ def main():
         n_kp=pad.n_kp, kp_feat_dim=model.cfg.rec_nf, kp_vec_dim=kp_vec, n_ip_pad=pad.n_ip)
     opt = make_optimizer(TrainConfig())
     state = init_train_state(model, opt, jax.random.key(0), example)
-    state = load_checkpoint(os.path.join(args.run_dir, "checkpoints"), state)
-    params = state.params
-    print(f"loaded step {int(state.step)} from {args.run_dir}", flush=True)
+    if args.params_npz:
+        from kpdiff_tpu.utils.params_io import load_params_npz
+
+        params = load_params_npz(args.params_npz, state.params)
+        step_loaded = -1
+        print(f"loaded params from {args.params_npz}", flush=True)
+    else:
+        state = load_checkpoint(os.path.join(args.run_dir, "checkpoints"), state)
+        params = state.params
+        step_loaded = int(state.step)
+        print(f"loaded step {step_loaded} from {args.run_dir}", flush=True)
 
     rng = np.random.default_rng(args.seed + 7)
     idxs = rng.choice(len(test_ds), size=args.n_receptors, replace=False)
@@ -116,7 +129,8 @@ def main():
         rows.append(row)
 
     with open(args.out, "w") as f:
-        json.dump({"run_dir": args.run_dir, "step": int(state.step), "rows": rows}, f, indent=1)
+        json.dump({"run_dir": args.run_dir, "step": step_loaded,
+                   "params_npz": args.params_npz, "eta": args.eta, "rows": rows}, f, indent=1)
 
 
 if __name__ == "__main__":
