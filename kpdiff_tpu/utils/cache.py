@@ -14,6 +14,20 @@ import os
 def enable_persistent_cache(cache_dir: str | None = None):
     import jax
 
+    # Platform override for every CLI: KPDIFF_PLATFORM=cpu (+ optional
+    # KPDIFF_CPU_DEVICES=N virtual devices) runs train/sample/byop/serve
+    # without an accelerator — e.g. CPU smoke runs or mesh experiments.
+    # Must win over the container's sitecustomize, which force-registers
+    # a TPU backend and eats JAX_PLATFORMS; jax.config.update does, as
+    # long as it lands before the first device query (we are called at
+    # the top of every CLI main).
+    platform = os.environ.get("KPDIFF_PLATFORM")
+    if platform:
+        jax.config.update("jax_platforms", platform)
+        n_dev = os.environ.get("KPDIFF_CPU_DEVICES")
+        if n_dev and platform == "cpu":
+            jax.config.update("jax_num_cpu_devices", int(n_dev))
+
     cache_dir = cache_dir or os.environ.get("KPDIFF_JAX_CACHE", "/tmp/kpdiff_jax_cache")
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)

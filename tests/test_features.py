@@ -137,3 +137,28 @@ def test_train_cli_dp_x_mp(tmp_path):
     import numpy as np
     for leaf in __import__("jax").tree_util.tree_leaves(state.params):
         assert np.all(np.isfinite(np.asarray(leaf)))
+
+
+def test_kpdiff_platform_env_forces_cpu():
+    """KPDIFF_PLATFORM=cpu (+ KPDIFF_CPU_DEVICES) must win over the
+    container's TPU-registering sitecustomize in every CLI entry point
+    (utils/cache.enable_persistent_cache). Subprocess: conftest's own
+    platform forcing must not mask the hook."""
+    import os
+    import subprocess
+    import sys
+
+    env = {k: v for k, v in os.environ.items() if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    env["KPDIFF_PLATFORM"] = "cpu"
+    env["KPDIFF_CPU_DEVICES"] = "3"
+    out = subprocess.run(
+        [sys.executable, "-c",
+         "from kpdiff_tpu.utils.cache import enable_persistent_cache;"
+         "enable_persistent_cache();"
+         "import jax;"
+         "print(jax.devices()[0].platform, jax.device_count())"],
+        env=env, capture_output=True, text=True, timeout=120,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert out.stdout.strip().split()[-2:] == ["cpu", "3"], out.stdout
