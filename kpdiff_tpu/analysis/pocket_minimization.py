@@ -122,3 +122,25 @@ def pocket_minimization(
         out_mols.append(mm)
         rmsds.append(r)
     return out_mols, rmsds
+
+
+def minimize_and_write(pocket_coords: np.ndarray, mols: List[BuiltMolecule], out_dir,
+                       n_iters: int = 400) -> List[float]:
+    """In-sampler minimization output (reference test.py:269-274 /
+    byop.py:389-395 filenames): `pocket_minimized_ligands.sdf` +
+    `pocket_min_rmsds.csv` written into ``out_dir``. Returns the RMSDs."""
+    import csv
+    from pathlib import Path
+
+    from kpdiff_tpu.data.sdf import write_sdf
+
+    out_dir = Path(out_dir)
+    minimized, rmsds = pocket_minimization(pocket_coords, mols, n_iters=n_iters)
+    write_sdf([m.to_sdf_mol(title=f"min_{i}") for i, m in enumerate(minimized)],
+              out_dir / "pocket_minimized_ligands.sdf")
+    with open(out_dir / "pocket_min_rmsds.csv", "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["mol_idx", "rmsd"])
+        for i, r in enumerate(rmsds):
+            w.writerow([i, f"{r:.4f}"])
+    return rmsds

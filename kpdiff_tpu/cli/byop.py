@@ -38,6 +38,10 @@ def parse_args(argv=None):
                    help="shard the keypoint axis of the reverse diffusion over "
                         "this many devices (parallel/kp_shard.py) — the "
                         "single-pocket latency mode")
+    p.add_argument("--pocket_minimization", action="store_true",
+                   help="force-field-minimize sampled ligands inside the fixed "
+                        "pocket and write pocket_minimized_ligands.sdf + "
+                        "pocket_min_rmsds.csv (reference byop.py:389-395)")
     p.add_argument("--ligand_size", type=str, default="random",
                    help="'random' (joint size dist), 'ref' (reference ligand count), or an integer")
     p.add_argument("--seed", type=int, default=0)
@@ -210,6 +214,12 @@ def main(argv=None):
     kx, km = np.asarray(out["kp_x"]), np.asarray(enc.kp_mask)
     if model.cfg.rec_encoder_type == "learned":
         write_xyz(np.asarray(enc.kp_x)[0][km[0]], ["C"] * int(km[0].sum()), out_dir / "keypoints.xyz")
+    if args.pocket_minimization:
+        from kpdiff_tpu.analysis.pocket_minimization import minimize_and_write
+
+        rmsds = minimize_and_write(data["rec_pos"], mols, out_dir)
+        mean_r = np.mean(rmsds) if rmsds else 0.0
+        print(f"pocket minimization: {len(rmsds)} mols, mean RMSD {mean_r:.3f}", flush=True)
     print(f"{len(mols)} valid molecules in {dt:.1f}s -> {out_dir}", flush=True)
 
 

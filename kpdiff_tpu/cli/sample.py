@@ -67,6 +67,14 @@ def parse_args(argv=None):
                         "deterministic DDIM — pair with --sample_steps for "
                         "few-step sampling (the deterministic update composes "
                         "exactly under striding)")
+    p.add_argument("--pocket_minimization", action="store_true",
+                   help="force-field-minimize each pocket's sampled ligands in "
+                        "place and write pocket_minimized_ligands.sdf + "
+                        "pocket_min_rmsds.csv per pocket (reference test.py:269-274)")
+    p.add_argument("--ligand_only_minimization", action="store_true",
+                   help="relax each sampled ligand without the pocket and write "
+                        "minimized_ligands.sdf per pocket (reference test.py:258-266, "
+                        "200 iters)")
     p.add_argument("--visualize", action="store_true")
     p.add_argument("--frames_every", type=int, default=50)
     p.add_argument("--seed", type=int, default=0)
@@ -241,6 +249,18 @@ def main(argv=None):
         pdir.mkdir(parents=True, exist_ok=True)
         write_sdf([m.to_sdf_mol(title=f"pocket{i}_sample{j}") for j, m in enumerate(mols)], pdir / "raw_ligands.sdf")
         _write_pocket_pdb(item, pdir / "pocket.pdb")
+        if args.ligand_only_minimization:
+            from kpdiff_tpu.analysis.pocket_minimization import pocket_minimization
+
+            lo_mols, _ = pocket_minimization(np.zeros((0, 3), np.float32), mols, n_iters=200)
+            write_sdf([m.to_sdf_mol(title=f"lomin_{j}") for j, m in enumerate(lo_mols)],
+                      pdir / "minimized_ligands.sdf")
+        if args.pocket_minimization:
+            from kpdiff_tpu.analysis.pocket_minimization import minimize_and_write
+
+            rmsds = minimize_and_write(item["rec_pos"], mols, pdir)
+            mean_r = np.mean(rmsds) if rmsds else 0.0
+            print(f"pocket {i}: minimized {len(rmsds)} mols, mean RMSD {mean_r:.3f}", flush=True)
         # copy original receptor/ligand files when available (reference
         # test.py writes receptor.pdb + reference_files/)
         rec_file, lig_file = ds.get_files(int(i)) if hasattr(ds, "get_files") else (None, None)

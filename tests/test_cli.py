@@ -79,11 +79,15 @@ def test_sample_cli_layout(trained_run, tmp_path):
     sample_main([
         "--model_dir", str(trained_run), "--synthetic", "2", "--samples_per_pocket", "4",
         "--max_batch_size", "4", "--max_tries", "2", "--out", str(out),
-        "--visualize", "--frames_every", "5",
+        "--visualize", "--frames_every", "5", "--pocket_minimization",
+        "--ligand_only_minimization",
     ])
     for i in range(2):
         pdir = out / f"pocket_{i}"
         assert (pdir / "raw_ligands.sdf").exists()
+        assert (pdir / "pocket_minimized_ligands.sdf").exists()
+        assert (pdir / "pocket_min_rmsds.csv").exists()
+        assert (pdir / "minimized_ligands.sdf").exists()
         assert (pdir / "pocket.pdb").exists()
         assert (pdir / "sample_time.txt").exists()
         assert (pdir / "keypoints.xyz").exists()  # learned encoder
@@ -155,9 +159,13 @@ def test_byop_cli(trained_run, tmp_path):
         "--model_dir", str(trained_run), "--receptor_file", str(pdb_path),
         "--ligand_file", str(sdf_path), "--out", str(out),
         "--n_mols", "4", "--max_batch_size", "4", "--ligand_size", "ref",
+        "--pocket_minimization",
     ])
     assert (out / "pocket.pdb").exists()
     assert (out / "raw_ligands.sdf").exists()
+    # in-sampler minimization (reference byop.py:389-395 filenames)
+    assert (out / "pocket_minimized_ligands.sdf").exists()
+    assert (out / "pocket_min_rmsds.csv").exists()
 
     # single-pocket latency mode: keypoint axis sharded over the CPU mesh
     out_kp = tmp_path / "byop_out_kp"
