@@ -178,6 +178,29 @@ def test_byop_cli(trained_run, tmp_path):
     assert (out_kp / "raw_ligands.sdf").exists()
 
 
+def _write_fake_assembly(data_dir, pdb_id, rng, n_res=10, n_lig=10):
+    """One synthetic biounit: GLY shell around a HETATM 'LIG' chain A resi 201."""
+    from kpdiff_tpu.data.pdb import format_pdb_line
+
+    lig_center = np.array([10.0, 10.0, 10.0])
+    lines = []
+    serial = 1
+    for res in range(n_res):
+        d = rng.normal(size=3)
+        d /= np.linalg.norm(d)
+        base = lig_center + d * rng.uniform(4, 8)
+        for name, el in [("N", "N"), ("CA", "C"), ("C", "C"), ("O", "O")]:
+            x, y, z = base + rng.normal(scale=0.6, size=3)
+            lines.append(format_pdb_line(serial, name, "GLY", "A", res + 1, x, y, z, el))
+            serial += 1
+    lig_pos = lig_center + np.cumsum(rng.normal(scale=0.1, size=(n_lig, 3)) + np.array([1.4, 0.1, 0]), axis=0)
+    lig_pos -= lig_pos.mean(0) - lig_center
+    for j, (x, y, z) in enumerate(lig_pos):
+        lines.append(format_pdb_line(serial, f"C{j}", "LIG", "A", 201, x, y, z, "C", hetero=True))
+        serial += 1
+    (data_dir / f"{pdb_id}.bio1").write_text("\n".join(lines) + "\nEND\n")
+
+
 def test_process_bindingmoad_pipeline(tmp_path):
     from kpdiff_tpu.cli.process_bindingmoad import main as proc_main
 
@@ -187,26 +210,7 @@ def test_process_bindingmoad_pipeline(tmp_path):
     split_dir = tmp_path / "splits"
     split_dir.mkdir()
 
-    from kpdiff_tpu.data.pdb import format_pdb_line
-
-    # build a fake assembly: protein residues + a HETATM ligand 'LIG' chain A resi 201
-    lig_center = np.array([10.0, 10.0, 10.0])
-    lines = []
-    serial = 1
-    for res in range(10):
-        d = rng.normal(size=3)
-        d /= np.linalg.norm(d)
-        base = lig_center + d * rng.uniform(4, 8)
-        for name, el in [("N", "N"), ("CA", "C"), ("C", "C"), ("O", "O")]:
-            x, y, z = base + rng.normal(scale=0.6, size=3)
-            lines.append(format_pdb_line(serial, name, "GLY", "A", res + 1, x, y, z, el))
-            serial += 1
-    lig_pos = lig_center + np.cumsum(rng.normal(scale=0.1, size=(10, 3)) + np.array([1.4, 0.1, 0]), axis=0)
-    lig_pos -= lig_pos.mean(0) - lig_center
-    for j, (x, y, z) in enumerate(lig_pos):
-        lines.append(format_pdb_line(serial, f"C{j}", "LIG", "A", 201, x, y, z, "C", hetero=True))
-        serial += 1
-    (data_dir / "1abc.bio1").write_text("\n".join(lines) + "\nEND\n")
+    _write_fake_assembly(data_dir, "1abc", rng)
 
     for split in ["train", "val", "test"]:
         (split_dir / f"moad_{split}.txt").write_text("1abc_LIG:A:201\n")
@@ -319,3 +323,58 @@ def test_process_bindingmoad_realistic_assembly(tmp_path):
     # both chains contribute (chain B sits 3 A closer on x)
     assert item["rec_pos"].shape[0] >= 20
     assert item["interface_points"].shape[0] >= 1
+
+
+@pytest.mark.slow
+def test_raw_to_metrics_full_pipeline(tmp_path):
+    """The reference's complete user workflow on raw inputs, no synthetic
+    shortcuts: raw biounit PDBs -> process_bindingmoad (split pickles +
+    size histogram) -> train.py from dataset.location -> sample.py over the
+    test split -> compute_metrics (readme.md:54-121 pipeline)."""
+    from kpdiff_tpu.cli.process_bindingmoad import main as proc_main
+    from kpdiff_tpu.cli.train import main as train_main
+    from kpdiff_tpu.cli.sample import main as sample_main
+    from kpdiff_tpu.cli.compute_metrics import main as metrics_main
+
+    rng = np.random.default_rng(7)
+    data_dir = tmp_path / "moad"
+    data_dir.mkdir()
+    split_dir = tmp_path / "splits"
+    split_dir.mkdir()
+
+    ids = [f"{i + 1}abc" for i in range(6)]
+    for pid in ids:
+        _write_fake_assembly(data_dir, pid, rng, n_res=10, n_lig=int(rng.integers(8, 13)))
+    (split_dir / "moad_train.txt").write_text("".join(f"{p}_LIG:A:201\n" for p in ids[:4]))
+    (split_dir / "moad_val.txt").write_text(f"{ids[4]}_LIG:A:201\n")
+    (split_dir / "moad_test.txt").write_text(f"{ids[5]}_LIG:A:201\n")
+
+    processed = tmp_path / "processed"
+    proc_main(["--data_dir", str(data_dir), "--split_dir", str(split_dir),
+               "--out", str(processed), "--min_ligand_atoms", "5"])
+    assert (processed / "train_n_node_joint_dist.pkl").exists()
+
+    cfg = dict(TINY_CONFIG)
+    cfg["experiment"] = {"name": "e2e", "results_dir": str(tmp_path / "runs")}
+    cfg["dataset"] = dict(TINY_CONFIG["dataset"], location=str(processed))
+    cfg["training"] = dict(TINY_CONFIG["training"], epochs=2, batch_size=4)
+    cfg_path = tmp_path / "e2e.yml"
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+
+    run_dir, _ = train_main(["--config", str(cfg_path), "--n_devices", "1"])
+    rows = pickle.load(open(run_dir / "train_metrics.pkl", "rb"))
+    assert len(rows) >= 1 and np.isfinite(rows[-1]["l2"])
+
+    out = tmp_path / "sampled_mols"
+    sample_main(["--model_dir", str(run_dir), "--split", "test",
+                 "--samples_per_pocket", "4", "--max_batch_size", "4",
+                 "--max_tries", "2", "--ligand_size", "random", "--out", str(out)])
+    pdir = out / "pocket_0"
+    assert (pdir / "raw_ligands.sdf").exists()
+    assert (pdir / "pocket.pdb").exists()
+    assert (pdir / "sample_time.txt").exists()
+
+    res = metrics_main(["--sampled_mols_dir", str(out)])
+    assert "validity" in res["overall"]
+    assert (out / "metrics.pkl").exists()
