@@ -250,6 +250,7 @@ def main(argv=None):
     last_test_marker = last_save_marker = last_metrics_marker = 0.0
     prev_epoch = 0.0
     nonfinite_streak = 0
+    dropped_warned = False
 
     n_params = sum(int(np.prod(x.shape)) for x in jax.tree_util.tree_leaves(state.params))
     print(f"run dir: {run_dir}; params: {n_params:,}; devices: {n_dev}; iters/epoch: {iters_per_epoch}", flush=True)
@@ -336,6 +337,14 @@ def main(argv=None):
             if is_restart_boundary(tcfg.scheduler, prev_epoch, epoch_exact):
                 save_checkpoint(ckpt_dir, state)  # scheduler.py:60-62 behavior
             prev_epoch = epoch_exact
+
+        # padding-capacity drops are data loss and must be LOUD, not silent
+        # (a molgen ca_only bug once shed 60% of a split this way)
+        if train_loader.n_dropped and not dropped_warned:
+            dropped_warned = True
+            print(f"  WARNING: {train_loader.n_dropped}/{len(train_ds)} training complexes "
+                  f"exceed padding capacity (n_lig={pad.n_lig}, n_rec={pad.n_rec}, "
+                  f"n_ip={pad.n_ip}) and were dropped", flush=True)
 
     # final held-out eval + checkpoint (reference saves at the end, train.py:643-645)
     final_epoch = float(state.step) / iters_per_epoch

@@ -213,11 +213,19 @@ def molecular_synthetic_dataset(
             ridx = rng.choice(4, size=n_rec, p=rec_probs)
             rh[np.arange(n_rec), np.minimum(ridx, n_rec_feat - 1)] = 1.0
 
-        n_ip = max(n_lig // 2, 2)
-        li = rng.integers(0, n_lig, size=n_ip)
-        d = np.linalg.norm(rx[None] - x[li][:, None], axis=-1)
-        ri = d.argmin(1)
-        ip = ((x[li] + rx[ri]) / 2).astype(np.float32)
+        if ca_only:
+            # the reference's --ca_only processing emits NO interface points
+            # (process_bindingmoad.py:193-198) and the ca configs pad n_ip=8;
+            # generating them here both breaks that regime and silently drops
+            # any complex whose ligand exceeds 16 atoms at pad_item
+            n_ip = 0
+            ip = np.zeros((0, 3), np.float32)
+        else:
+            n_ip = max(n_lig // 2, 2)
+            li = rng.integers(0, n_lig, size=n_ip)
+            d = np.linalg.norm(rx[None] - x[li][:, None], axis=-1)
+            ri = d.argmin(1)
+            ip = ((x[li] + rx[ri]) / 2).astype(np.float32)
 
         lig_pos.append(x)
         lig_feat.append(h)

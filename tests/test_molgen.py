@@ -120,3 +120,24 @@ def test_ca_only_dataset():
         assert (rh.sum(1) == 1).all() and set(rh.argmax(1)) != {0}
         ri = item["rec_res_idx"]
         assert len(np.unique(ri)) == len(ri)  # one residue per node
+
+
+def test_ca_only_fits_reference_ca_padding():
+    """ca_only emits NO interface points (process_bindingmoad.py:193-198
+    regime) so every complex fits the shipped ca configs' n_ip=8 padding —
+    the buggy version silently dropped 60% of a split at pad_item."""
+    import yaml
+
+    from kpdiff_tpu.config import PaddingConfig, load_config, resolve_feature_sizes
+    from kpdiff_tpu.data.dataset import pad_item
+    from kpdiff_tpu.data.molgen import molgen_splits_for_config
+
+    config = load_config("configs/egnn_ca.yml")
+    pad = PaddingConfig.from_config(config)
+    n_rec_feat, n_lig_feat, _ = resolve_feature_sizes(config)
+    train_ds, test_ds = molgen_splits_for_config(config, pad, n_rec_feat, 64, 42)
+    for ds in (train_ds, test_ds):
+        for i in range(len(ds)):
+            item = ds.get(i)
+            assert item["interface_points"].shape == (0, 3)
+            assert pad_item(item, pad, n_lig_feat_out=n_lig_feat) is not None
