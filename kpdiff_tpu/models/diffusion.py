@@ -563,7 +563,13 @@ class KeypointDiffusion:
             grid = jnp.arange(T, -1, -1)
         steps = jnp.stack([grid[:-1], grid[1:]], axis=1)  # (K, 2) pairs t > s, ending at s=0
         xs = (steps, (noise["steps_x"], noise["steps_h"]) if noise is not None else None)
-        (lig_x, lig_h, kp_x, _), frames = jax.lax.scan(step, (lig_x, lig_h, kp_x, k_scan), xs)
+        # KPDIFF_SCAN_UNROLL=n unrolls n reverse steps per scan iteration
+        # (exact; lets XLA fuse across step boundaries). Default 1.
+        import os as _os
+
+        unroll = int(_os.environ.get("KPDIFF_SCAN_UNROLL", "1"))
+        (lig_x, lig_h, kp_x, _), frames = jax.lax.scan(
+            step, (lig_x, lig_h, kp_x, k_scan), xs, unroll=unroll)
 
         # back to the input frame (ligand_diffuser.py:437-447)
         kp_com = masked_com(kp_x, cpx.kp_mask)
