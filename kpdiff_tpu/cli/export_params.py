@@ -28,13 +28,25 @@ def export(run_dir: str | Path, out: str | Path, step: int | None = None) -> int
     jax.config.update("jax_platforms", "cpu")
 
     import orbax.checkpoint as ocp
+    from jax.sharding import SingleDeviceSharding
 
     from kpdiff_tpu.utils.params_io import save_params_npz
 
     ckpt_dir = (Path(run_dir) / "checkpoints").absolute()
     step = latest_step(ckpt_dir) if step is None else step
+    dev = jax.local_devices()[0]
     with ocp.StandardCheckpointer() as ckptr:
-        tree = ckptr.restore(ckpt_dir / f"step_{step}")
+        # Restore device-free: checkpoints written on the TPU carry TPU
+        # sharding metadata that a bare restore() tries to re-materialize
+        # ("Device TPU v5 lite0 was not found"); build an abstract target
+        # from the checkpoint's own tree metadata, pinned to host CPU.
+        path = ckpt_dir / f"step_{step}"
+        meta = ckptr.metadata(path).item_metadata
+        target = jax.tree_util.tree_map(
+            lambda m: jax.ShapeDtypeStruct(m.shape, m.dtype, sharding=SingleDeviceSharding(dev)),
+            meta.tree,
+        )
+        tree = ckptr.restore(path, target)
     if not isinstance(tree, dict) or "params" not in tree:
         raise ValueError(f"checkpoint at step {step} has no 'params' subtree "
                          f"(keys: {list(tree) if isinstance(tree, dict) else type(tree)})")

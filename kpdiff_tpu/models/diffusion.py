@@ -83,6 +83,7 @@ class KeypointDiffusion:
                 mxu_split_t=dyn.get("mxu_split_t", None),
                 nbr_gather=dyn.get("nbr_gather", "onehot"),
                 z_semantics=dyn.get("z_semantics", "intent"),
+                remat=dyn.get("remat", False),
             )
             # sampling-only variant with the fused Pallas edge kernel
             # (forward-only: pallas_call has no VJP; training uses XLA)

@@ -193,6 +193,14 @@ class EGNNDynamics(nn.Module):
     # 'executed' when importing shipped reference EGNN checkpoints (all of
     # which set message_norm: 0). Has no effect when message_norm != 0.
     z_semantics: str = "intent"
+    # Rematerialize each conv layer in the backward pass (jax.checkpoint).
+    # The training-step HBM peak is the stored per-layer pair tensors
+    # (B,K,K,H) x n_layers from the dense kk grid; remat stores only the
+    # node-level layer boundaries and recomputes pair work during backprop
+    # (~1 extra forward of compute). Exact math. Required to train the
+    # all-atom configs (K up to n_rec=384) at reference batch sizes on a
+    # single 16G v5e chip.
+    remat: bool = False
 
     @nn.compact
     def __call__(
@@ -285,12 +293,13 @@ class EGNNDynamics(nn.Module):
         masks = {"lig": lig_mask, "kp": kp_mask}
         kp_h0, kp_x0 = kp_feat, kp_x
 
+        Conv = nn.remat(EGNNConvLayer) if self.remat else EGNNConvLayer
         for i in range(self.n_layers):
             if not self.update_kp_feat:
                 # reference re-reads original kp state every layer when kp is
                 # not updated (dynamics.py:288-292)
                 h["kp"], x["kp"] = kp_h0, kp_x0
-            h, x = EGNNConvLayer(
+            h, x = Conv(
                 hidden_size=self.hidden_nf + 1,
                 use_tanh=self.use_tanh,
                 update_kp_feat=self.update_kp_feat,

@@ -14,7 +14,7 @@ Differences from the EGNN dynamics worth noting:
 """
 from __future__ import annotations
 
-from typing import Tuple, Union
+from typing import NamedTuple, Tuple, Union
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -32,6 +32,16 @@ from kpdiff_tpu.models.gvp import (
 )
 from kpdiff_tpu.models.nn import TorchLinear
 from kpdiff_tpu.ops.neighbors import dense_knn_adjacency, dense_radius_adjacency, knn_indices
+
+
+class PairList(NamedTuple):
+    """kNN pair-list adjacency for kl/lk: (B, K, k) ligand indices + valid
+    mask. A NamedTuple so the tag is the pytree TYPE rather than a string
+    leaf — strings are not JAX types and would break tracing the adjacency
+    dict through jax.checkpoint (the `remat` flag)."""
+
+    idx: jnp.ndarray
+    valid: jnp.ndarray
 
 
 class GVPMultiEdgeConvDense(nn.Module):
@@ -75,10 +85,10 @@ class GVPMultiEdgeConvDense(nn.Module):
                 vec_layout=self.vec_layout,
                 name=f"message_{ename}",
             )
-            if isinstance(adj[ename], tuple) and adj[ename][0] == "pairs":
+            if isinstance(adj[ename], PairList):
                 # kNN pair list shared by kl (anchor kp = src) and lk
                 # (anchor kp = dst): true K*kl_k edges instead of dense grids
-                _, idx, valid = adj[ename]
+                idx, valid = adj[ename]
                 h_a, x_a, v_a = node_data["kp"]
                 h_o, x_o, v_o = node_data["lig"]
                 ds, dv = GVPEdgeMessagesKNNPairs(
@@ -130,8 +140,8 @@ class GVPMultiEdgeConvDense(nn.Module):
                         a = adj[etype[1]]
                         if isinstance(a, dict):
                             n_edges = n_edges + jnp.sum(a["block"], axis=(1, 2, 3)).astype(jnp.float32)
-                        elif isinstance(a, tuple) and a[0] == "pairs":
-                            n_edges = n_edges + jnp.sum(a[2], axis=(1, 2)).astype(jnp.float32)
+                        elif isinstance(a, PairList):
+                            n_edges = n_edges + jnp.sum(a.valid, axis=(1, 2)).astype(jnp.float32)
                         else:
                             a = a[1] if isinstance(a, tuple) else a
                             n_edges = n_edges + jnp.sum(a, axis=(1, 2)).astype(jnp.float32)
@@ -231,6 +241,13 @@ class GVPDynamics(nn.Module):
     # elementwise/pair work is lane-efficient on TPU (a (..., V, 3) tensor
     # tiles at ~2% utilization); numerics identical (tests/test_gvp_flat.py)
     vec_layout: str = "flat"
+    # Rematerialize each multi-edge conv in the backward pass
+    # (jax.checkpoint; `deterministic` stays static for the dropout branch).
+    # Cuts the training-step HBM peak from n_convs stored pair-tensor sets
+    # to one, at ~1 extra forward of compute — exact math. Needed for the
+    # ca/all-atom configs (dense kk over up to n_rec keypoints) on a 16G
+    # chip at reference batch sizes.
+    remat: bool = False
 
     NO_KP_EDGES = (("lig", "ll", "lig"), ("kp", "kl", "lig"))
     KP_EDGES = NO_KP_EDGES + (("lig", "lk", "kp"), ("kp", "kk", "kp"))
@@ -276,7 +293,7 @@ class GVPDynamics(nn.Module):
             # same edge set as the reference's knn, dynamics_gvp.py:201-234)
             kl_idx, _kl_dist, kl_valid = knn_indices(lig_x, lig_mask, kp_x, kp_mask, self.kl_k)
             kl_valid = kl_valid & kp_mask[:, :, None]
-            kl = ("pairs", kl_idx, kl_valid)
+            kl = PairList(kl_idx, kl_valid)
         else:
             kl = dense_radius_adjacency(kp_x, kp_mask, lig_x, lig_mask, self.kl_cutoff)
         adj = {"ll": ll, "kl": kl}
@@ -289,12 +306,16 @@ class GVPDynamics(nn.Module):
         node_data = {"lig": (lig_s, lig_x, lig_v), "kp": (kp_s, kp_x, kp_v)}
         masks = {"lig": lig_mask, "kp": kp_mask}
 
+        # static_argnums: `deterministic` (idx 4, self=0) is a Python bool
+        # branching the dropout path — must not be traced through remat
+        Conv = (nn.remat(GVPMultiEdgeConvDense, static_argnums=(4,))
+                if self.remat else GVPMultiEdgeConvDense)
         for i in range(self.n_convs):
             if not self.update_kp or i == self.n_convs - 1:
                 etypes = self.NO_KP_EDGES  # last layer drops kp updates (dynamics_gvp.py:69-74)
             else:
                 etypes = self.KP_EDGES
-            node_data = GVPMultiEdgeConvDense(
+            node_data = Conv(
                 etypes=etypes,
                 scalar_size=H,
                 vector_size=self.vector_size,
@@ -306,7 +327,7 @@ class GVPDynamics(nn.Module):
                 vec_layout=self.vec_layout,
                 gather_mode=self.nbr_gather,
                 name=f"conv{i}",
-            )(node_data, adj, masks, deterministic=deterministic)
+            )(node_data, adj, masks, deterministic)
 
         lig_s, _, lig_v = node_data["lig"]
         eps_h, eps_x = NoisePredictionBlock(

@@ -170,6 +170,54 @@ def test_data_parallel_matches_single_device_gvp():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5)
 
 
+def test_remat_convs_exact_equivalence():
+    """`dynamics.remat` / `dynamics_gvp.remat` rematerialize the conv layers
+    in the backward pass (the HBM fix that lets the all-atom/ca configs
+    train at reference batch sizes on one 16G chip). jax.checkpoint is
+    exact math; XLA refuses only bitwise identity (fusion boundaries move,
+    so rounding differs in the last ulp). One optimizer step must produce
+    metrics and updated params equal to tight float32 tolerance with the
+    flag on and off, for both architectures."""
+    cpx = synthetic_batch(17, batch=4, n_rec_pad=24, n_lig_pad=10, n_kp=24,
+                          kp_feat_dim=10, kp_vec_dim=4, min_rec=16)
+    tcfg = TrainConfig(learning_rate=1e-3, scheduler=SchedulerConfig(base_lr=1e-3))
+    opt = make_optimizer(tcfg)
+
+    def one_step(model):
+        state = init_train_state(model, opt, jax.random.key(4), cpx)
+        step = make_train_step(model, tcfg, opt, iters_per_epoch=10)
+        return step(state, jax.random.key(5), cpx)
+
+    def egnn(remat):
+        return KeypointDiffusion(DiffusionConfig(
+            atom_nf=10, rec_nf=10, n_timesteps=20, rec_encoder_type="fixed",
+            dynamics=dict(n_layers=2, hidden_nf=16, message_norm=0.0,
+                          update_kp_feat=True, norm=True, kl_k=3, remat=remat),
+        ))
+
+    def gvp(remat):
+        return KeypointDiffusion(DiffusionConfig(
+            atom_nf=10, rec_nf=10, n_timesteps=20, architecture="gvp",
+            rec_encoder_type="fixed",
+            dynamics=dict(vector_size=4, n_convs=2, n_hidden_scalars=16,
+                          update_kp=True, message_norm="mean", kl_k=3,
+                          n_message_gvps=1, n_update_gvps=1, n_noise_gvps=2,
+                          remat=remat),
+        ))
+
+    for family in (egnn, gvp):
+        s_off, m_off = one_step(family(False))
+        s_on, m_on = one_step(family(True))
+        for key in m_off:
+            np.testing.assert_allclose(np.asarray(m_off[key]), np.asarray(m_on[key]),
+                                       rtol=5e-6, atol=1e-7)
+        leaves_off = jax.tree_util.tree_leaves(s_off.params)
+        leaves_on = jax.tree_util.tree_leaves(s_on.params)
+        assert len(leaves_off) == len(leaves_on)  # remat must not change param structure
+        for a, b in zip(leaves_off, leaves_on):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
+
+
 def test_loss_finite_with_empty_batch_rows():
     """PaddedLoader repeat-pads the final partial batch with zero-mask rows
     (dataset.py:271-276); the dynamics may emit NaN for an all-masked item,
