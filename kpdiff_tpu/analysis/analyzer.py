@@ -22,6 +22,7 @@ class ModelAnalyzer:
         train_type_counts: Optional[np.ndarray] = None,
         train_keys: Optional[set] = None,
         seed: int = 0,
+        diff_batch_size: int = 0,
     ):
         self.model = model
         self.ds = dataset
@@ -32,6 +33,12 @@ class ModelAnalyzer:
         self.train_type_counts = train_type_counts
         self.train_keys = train_keys
         self.rng = np.random.default_rng(seed)
+        # Device batch per sampler launch (reference sampling_config.diff_batch_size,
+        # test.py:149). 0 = one launch for all n_receptors*n_replicates molecules.
+        # The heavy GVP variants hold (B, K, K, chain) pair tensors inside the
+        # reverse-diffusion scan; at K=128+ a 96-molecule launch exceeds the
+        # 16G v5e HBM, so in-training analysis must chunk like the CLIs do.
+        self.diff_batch_size = int(diff_batch_size)
         self._jitted = None
 
     def sample_and_analyze(self, params, rng) -> Dict[str, object]:
@@ -51,7 +58,6 @@ class ModelAnalyzer:
         if not items:
             return {"analyzer_error": "no pockets fit the padding capacity"}
         kp_vec = self.model.cfg.rec_encoder.get("vector_size", 16) if self.model.cfg.architecture == "gvp" else None
-        cpx = _to_complex(items, self.pad, self.model, kp_vec)
 
         if self._jitted is None:
             model = self.model
@@ -62,10 +68,21 @@ class ModelAnalyzer:
                 return model.sample(params, rng, enc, kk, init_com=None)
 
             self._jitted = run
-        out = self._jitted(params, rng, cpx)
-        lig_x = np.asarray(out["lig_x"])
-        lig_h = np.asarray(out["lig_h"])
-        lig_mask = np.asarray(out["lig_mask"])
+
+        n_items = len(items)
+        cs = self.diff_batch_size if 0 < self.diff_batch_size < n_items else n_items
+        # one executable for all launches: pad the item list to a multiple of
+        # the chunk size (repeats are discarded below)
+        while len(items) % cs:
+            items.append(items[0])
+        outs = []
+        for start in range(0, len(items), cs):
+            rng, sub = jax.random.split(rng)
+            cpx = _to_complex(items[start:start + cs], self.pad, self.model, kp_vec)
+            outs.append(jax.device_get(self._jitted(params, sub, cpx)))
+        lig_x = np.concatenate([o["lig_x"] for o in outs])[:n_items]
+        lig_h = np.concatenate([o["lig_h"] for o in outs])[:n_items]
+        lig_mask = np.concatenate([o["lig_mask"] for o in outs])[:n_items]
 
         positions, elements = [], []
         for b in range(lig_x.shape[0]):

@@ -237,6 +237,7 @@ def main(argv=None):
         n_replicates=min(samp_cfg.get("n_replicates", 4), 12),
         train_type_counts=_type_counts(train_ds),
         seed=args.seed + 11,
+        diff_batch_size=samp_cfg.get("diff_batch_size", 0),
     )
     sample_interval = tr.get("sample_interval", 0)
     # fire once at epoch ~0 so the run records the UNTRAINED molecule-metric
