@@ -70,9 +70,12 @@ class ModelAnalyzer:
             self._jitted = run
 
         n_items = len(items)
-        cs = self.diff_batch_size if 0 < self.diff_batch_size < n_items else n_items
-        # one executable for all launches: pad the item list to a multiple of
-        # the chunk size (repeats are discarded below)
+        # one executable for all launches: with diff_batch_size set, the
+        # launch shape is ALWAYS diff_batch_size — even when fewer items
+        # remain (pad_item can drop a varying number of pockets per call,
+        # and a varying fallback shape would trigger a fresh jit compile
+        # per invocation); repeats are discarded below
+        cs = self.diff_batch_size if self.diff_batch_size > 0 else n_items
         while len(items) % cs:
             items.append(items[0])
         outs = []
@@ -101,5 +104,8 @@ class ModelAnalyzer:
         )
         dt = time.time() - t0
         metrics["sample_time"] = dt
-        metrics["sec_per_mol"] = dt / max(len(positions), 1)
+        # divide by molecules actually LAUNCHED (incl. pad duplicates), not
+        # kept positions — the padded duplicates consume real device time,
+        # so this is the true per-molecule throughput of the launches
+        metrics["sec_per_mol"] = dt / max(len(items), 1)
         return metrics

@@ -2,10 +2,11 @@
 
 First-party metrics (always available): atom-type KL divergence, atom
 valency validity, largest-fragment fraction, validity, connectivity,
-uniqueness, novelty. RDKit-dependent properties (QED, SA, logP, Lipinski,
-Tanimoto diversity — reference MoleculeProperties :239-333) are computed
-when rdkit is importable and reported as None otherwise (this environment
-does not ship rdkit; see SURVEY.md §2.3 host/device split).
+uniqueness, novelty — and, since round 4, the full property surface (QED,
+SA, logP, Lipinski, Tanimoto diversity — reference MoleculeProperties
+:239-333) via the first-party calculators in analysis/chem_props.py when
+rdkit is absent. With rdkit importable the rdkit implementations are
+preferred (exact reference semantics); `props_backend` records which ran.
 """
 from __future__ import annotations
 
@@ -106,9 +107,22 @@ def evaluate_samples(
 def molecule_properties(mols: Sequence[BuiltMolecule]) -> Dict[str, Optional[float]]:
     """QED / SA / logP / Lipinski / pairwise Tanimoto diversity
     (reference MoleculeProperties.evaluate, metrics.py:239-333).
-    Requires rdkit; returns Nones otherwise."""
-    if not HAVE_RDKIT or not mols:
-        return {"qed": None, "sa": None, "logp": None, "lipinski": None, "diversity": None}
+
+    With rdkit importable the rdkit implementations run (exact reference
+    semantics); otherwise the first-party calculators in
+    analysis/chem_props.py provide the full quality surface (published
+    QED/Wildman-Crippen/Ertl algorithms on the first-party bond graph —
+    see that module's docstring for the documented deviations). The
+    `props_backend` key records which path produced the numbers."""
+    if not mols:
+        return {"qed": None, "sa": None, "logp": None, "lipinski": None, "diversity": None,
+                "props_backend": None}
+    if not HAVE_RDKIT:
+        from kpdiff_tpu.analysis.chem_props import first_party_properties
+
+        out = first_party_properties(mols)
+        out["props_backend"] = "first_party"
+        return out
     from rdkit.Chem import Crippen, Descriptors, QED  # type: ignore
     from rdkit import Chem, DataStructs  # type: ignore
     from rdkit.Chem import AllChem  # type: ignore
@@ -148,4 +162,5 @@ def molecule_properties(mols: Sequence[BuiltMolecule]) -> Dict[str, Optional[flo
     def _mean(x):
         return float(np.mean(x)) if x else None
 
-    return {"qed": _mean(qeds), "sa": _mean(sas), "logp": _mean(logps), "lipinski": _mean(lips), "diversity": div}
+    return {"qed": _mean(qeds), "sa": _mean(sas), "logp": _mean(logps), "lipinski": _mean(lips),
+            "diversity": div, "props_backend": "rdkit"}

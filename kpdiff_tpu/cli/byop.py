@@ -21,7 +21,9 @@ def parse_args(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--model_dir", type=str, required=True)
     p.add_argument("--checkpoint_step", type=int, default=None)
-    p.add_argument("--receptor_file", type=str, required=True)
+    p.add_argument("--receptor_file", type=str, required=True,
+                   help="receptor structure, .pdb or .cif/.mmcif "
+                        "(reference byop.py:13)")
     p.add_argument("--ligand_file", type=str, required=True, help="reference ligand SDF defining the pocket")
     p.add_argument("--out", type=str, default="byop_out")
     p.add_argument("--n_mols", type=int, default=32)
@@ -49,13 +51,14 @@ def parse_args(argv=None):
 
 
 def process_ligand_and_pocket(receptor_file, ligand_file, config):
-    """Pocket extraction at inference (reference byop.py:99-206)."""
-    from kpdiff_tpu.data.pdb import parse_pdb
+    """Pocket extraction at inference (reference byop.py:99-206). The
+    receptor may be .pdb or .cif/.mmcif (reference byop.py:13,107-110)."""
+    from kpdiff_tpu.data.mmcif import parse_structure
     from kpdiff_tpu.data.pocket import get_pocket_atoms, make_element_map
     from kpdiff_tpu.data.sdf import parse_sdf
 
     ds_cfg = config["dataset"]
-    atoms = parse_pdb(receptor_file, remove_hydrogen=ds_cfg.get("remove_hydrogen", True))
+    atoms = parse_structure(receptor_file, remove_hydrogen=ds_cfg.get("remove_hydrogen", True))
     rec = atoms.select(~atoms.is_hetero)
 
     lig = parse_sdf(ligand_file)[0]

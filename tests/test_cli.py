@@ -178,6 +178,33 @@ def test_byop_cli(trained_run, tmp_path):
     assert (out_kp / "raw_ligands.sdf").exists()
 
 
+@pytest.mark.slow
+def test_byop_cli_mmcif_receptor(trained_run, tmp_path):
+    """BYOP accepts an mmCIF receptor (reference byop.py:13,107-110)."""
+    from kpdiff_tpu.cli.byop import main as byop_main
+    from kpdiff_tpu.data.pdb import parse_pdb
+    from tests.test_mmcif import _write_mmcif
+
+    pdb_path, sdf_path = _write_synthetic_complex_pdb_sdf(tmp_path)
+    atoms = parse_pdb(pdb_path)
+    rows = [
+        ("HETATM" if atoms.is_hetero[i] else "ATOM", atoms.name[i], atoms.element[i],
+         atoms.resname[i], atoms.chain[i], int(atoms.resseq[i]), atoms.coords[i])
+        for i in range(len(atoms))
+    ]
+    cif_path = tmp_path / "prot.mmcif"
+    _write_mmcif(rows, cif_path)
+
+    out = tmp_path / "byop_out_cif"
+    byop_main([
+        "--model_dir", str(trained_run), "--receptor_file", str(cif_path),
+        "--ligand_file", str(sdf_path), "--out", str(out),
+        "--n_mols", "4", "--max_batch_size", "4", "--ligand_size", "ref",
+    ])
+    assert (out / "pocket.pdb").exists()
+    assert (out / "raw_ligands.sdf").exists()
+
+
 def _write_fake_assembly(data_dir, pdb_id, rng, n_res=10, n_lig=10):
     """One synthetic biounit: GLY shell around a HETATM 'LIG' chain A resi 201."""
     from kpdiff_tpu.data.pdb import format_pdb_line
