@@ -88,6 +88,12 @@ def _host_exact_plans(cost: np.ndarray, col_mask: np.ndarray, row_mask: np.ndarr
 
 
 def exact_plan(cost: jnp.ndarray, col_mask: jnp.ndarray, row_mask: jnp.ndarray) -> jnp.ndarray:
+    # the plan is a CONSTANT wrt autodiff (reference detaches it,
+    # rec_encoder_loss.py:12-17). Stopping the gradient at the callback's
+    # own inputs makes the tangent a symbolic zero so jax never asks the
+    # pure_callback for a JVP — without this, training with method='exact'
+    # fails inside value_and_grad (pure callbacks define no JVP rule).
+    cost = jax.lax.stop_gradient(cost)
     shape = jax.ShapeDtypeStruct(cost.shape, jnp.float32)
     return jax.pure_callback(
         _host_exact_plans, shape, cost, col_mask, row_mask, vmap_method="sequential"

@@ -85,13 +85,20 @@ def make_train_step(
     iters_per_epoch: int,
     mesh=None,
     kp_axis: Optional[str] = None,
+    with_t_eps: bool = False,
 ):
     """Returns a jitted (state, rng, batch) -> (state, metrics) step.
 
     kp_axis: name of a mesh axis to shard the KEYPOINT dimension over
     (dp x mp training, parallel/kp_shard.py::kp_constraint_fn) — the
     dynamics' pair grids and their gradients row-shard across it while
-    the batch stays on 'data'."""
+    the batch stays on 'data'.
+
+    with_t_eps: batch becomes (cpx, (t_ints, eps_x, eps_h)) and the noise
+    override is forwarded to model.loss — the trajectory-parity seam
+    (tests/test_train_trajectory.py runs N optimizer steps of the
+    reference's train loop, train.py:520-543, on identical injected
+    noise). Training never sets it."""
     sched = cfg.scheduler
 
     kp_constraint = None
@@ -103,12 +110,16 @@ def make_train_step(
         kp_constraint = kp_constraint_fn(mesh, axis=kp_axis)
 
     def step_fn(state: TrainState, rng, batch):
+        t_eps = None
+        if with_t_eps:
+            batch, t_eps = batch
         epoch_exact = state.step.astype(jnp.float32) / iters_per_epoch
         w_rec = rec_encoder_weight(sched, epoch_exact)
         lr = learning_rate(sched, epoch_exact)
 
         def full_loss(params):
-            losses = model.loss(params, rng, batch, kp_constraint=kp_constraint)
+            losses = model.loss(params, rng, batch, t_eps_override=t_eps,
+                                kp_constraint=kp_constraint)
             total = losses["l2"] + w_rec * losses["rec_encoder"]
             if "rl_hinge" in losses:
                 total = total + cfg.rl_hinge_loss_weight * losses["rl_hinge"]
