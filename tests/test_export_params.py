@@ -25,3 +25,38 @@ def test_export_latest_checkpoint(tmp_path):
     np.testing.assert_array_equal(restored["dense"]["kernel"],
                                   np.arange(6.0).reshape(2, 3) * 7)
     np.testing.assert_array_equal(restored["dense"]["bias"], np.ones(3) * 7)
+
+
+def test_export_best_checkpoint(tmp_path):
+    """--best maps the peak analyzer epoch to the nearest saved step
+    (VERDICT r3 weak #3: last-step exports were below the run's peak)."""
+    import pickle
+
+    from kpdiff_tpu.cli.export_params import best_step, export
+
+    params = {"w": jnp.ones(2)}
+    # checkpoints every 10 epochs at 4 iters/epoch (+ final at step 80)
+    for step in (40, 80):
+        state = TrainState(params=jax.tree_util.tree_map(lambda x: x * step, params),
+                           opt_state={"mu": jnp.zeros(2)},
+                           step=jnp.asarray(step, jnp.int32))
+        save_checkpoint(tmp_path / "checkpoints", state, step=step)
+
+    rows = [
+        {"epoch": 10.0, "test_l2": 0.5},
+        {"mol_epoch": 10.0, "mol_connectivity": 0.9, "mol_avg_frag_frac": 0.7},
+        {"epoch": 20.0, "test_l2": 0.4},
+        {"mol_epoch": 20.0, "mol_connectivity": 0.6, "mol_avg_frag_frac": 0.5},
+    ]
+    with open(tmp_path / "test_metrics.pkl", "wb") as f:
+        pickle.dump(rows, f)
+
+    # peak connectivity at epoch 10 -> nearest checkpoint is step 40
+    assert best_step(tmp_path, "connectivity") == 40
+    assert best_step(tmp_path, "combined") == 40
+
+    out = tmp_path / "best.npz"
+    got_step = export(tmp_path, out, best_step(tmp_path, "connectivity"))
+    assert got_step == 40
+    restored = load_params_npz(out, params)
+    np.testing.assert_array_equal(restored["w"], np.ones(2) * 40)
