@@ -474,6 +474,20 @@ class KeypointDiffusion:
         """
         cfg = self.cfg
         b = cpx.batch_size
+
+        # hoist the pair-MLP weight casts out of the scan: inside the loop
+        # body they re-execute every step (~282 convert/copy HLOs on the
+        # flagship, benchmarks/hlo_bytes.py). Bitwise identical — every use
+        # site casts to the same dtype (dynamics_egnn.precast_pair_params).
+        if (cfg.architecture == "egnn"
+                and cfg.dynamics.get("compute_dtype", "float32") != "float32"
+                and not cfg.dynamics.get("use_pallas", False)):
+            from kpdiff_tpu.models.dynamics_egnn import precast_pair_params
+
+            params = dict(params)
+            params["dynamics"] = precast_pair_params(
+                params["dynamics"], cfg.dynamics["compute_dtype"])
+
         lm = cpx.lig_mask[..., None].astype(cpx.lig_x.dtype)
         km = cpx.kp_mask[..., None].astype(cpx.kp_x.dtype)
 

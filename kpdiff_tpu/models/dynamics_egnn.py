@@ -20,11 +20,51 @@ from __future__ import annotations
 from typing import Dict, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from kpdiff_tpu.models.egnn import EGNNEdgeDense, EGNNEdgeKNNPairs, EGNNEdgeNbrList, NodeUpdate
 from kpdiff_tpu.models.nn import MLP
 from kpdiff_tpu.ops.neighbors import dense_knn_adjacency, dense_radius_adjacency, knn_indices
+
+
+def precast_pair_params(dyn_params, dtype) -> Dict:
+    """Cast the conv layers' pair-MLP weights to the compute dtype ONCE.
+
+    Every parameter of the edge modules (EGNNEdge*) and of NodeUpdate's
+    node_mlp is consumed exclusively through `.astype(compute_dtype)` at its
+    use site, so feeding them pre-cast is bitwise identical — but under the
+    sampling lax.scan those casts re-execute EVERY step: the flagship's
+    compiled step carries ~282 convert/copy instructions of 257x257 weights
+    (~74 MB/step of HBM writes, benchmarks/hlo_bytes.py). model.sample calls
+    this outside the scan so the converts trace once. LayerNorm parameters
+    stay f32 (LayerNorm computes in f32). Training never uses this — grads
+    need the f32 masters.
+    """
+    dtype = jnp.dtype(dtype)
+    if dtype == jnp.float32:
+        return dyn_params
+
+    def cast_tree(t):
+        return jax.tree_util.tree_map(
+            lambda v: v.astype(dtype) if v.dtype == jnp.float32 else v, t)
+
+    out = {}
+    for k, v in dyn_params.items():
+        if not (isinstance(v, dict) and k.startswith("conv")):
+            out[k] = v
+            continue
+        layer = {}
+        for mk, mv in v.items():
+            if mk.startswith("edge_"):
+                layer[mk] = cast_tree(mv)
+            elif mk.startswith("update_") and isinstance(mv, dict):
+                layer[mk] = {uk: (cast_tree(uv) if uk == "node_mlp" else uv)
+                             for uk, uv in mv.items()}
+            else:
+                layer[mk] = mv
+        out[k] = layer
+    return out
 
 
 class EGNNConvLayer(nn.Module):

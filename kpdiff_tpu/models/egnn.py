@@ -282,11 +282,18 @@ class EGNNEdgeKNNPairs(nn.Module):
     the dense K x Nl grid. Both kl and its reverse lk live on the SAME
     (B, K, k) structure of ligand indices:
       * anchor_is_src=True  (kl): anchor (kp) sends to the gathered nodes;
-        aggregation scatters to the gathered side via a one-hot matmul
-        (tiny: (B, K*k, N) x (B, K*k, H)).
+        aggregation scatters to the gathered side via a one-hot matmul.
       * anchor_is_src=False (lk): gathered nodes send to the anchor;
         aggregation is a masked sum over the k axis.
     Identical parameter layout to EGNNEdgeDense (swap-in replacement).
+
+    Internal layout is k-MAJOR: every pair tensor is (B, k, K, H), not
+    (B, K, k, H). TPU tiles the two minor dims, so a (k=5, H) minor pad
+    to the (16, 128·) tile inflates physical pair bytes ~3x and every
+    reshape between (K, k) and K*k relayouts through the tile — measured
+    as the convert/copy rows of benchmarks/hlo_bytes.py on the flagship.
+    With (K, H) minor the tensors tile cleanly and the aggregation
+    einsums merge adjacent major axes for free. Exact math — layout only.
     """
 
     hidden_size: int
@@ -331,6 +338,11 @@ class EGNNEdgeKNNPairs(nn.Module):
             w_anchor, w_gathered = e_wd, e_ws
             cw_anchor, cw_gathered = c_wd, c_ws
 
+        # k-major layout (see class docstring): every pair tensor below is
+        # (B, k, K, ·) so the tiled minor dims are (K, H)
+        idx_t = jnp.swapaxes(idx, 1, 2)  # (B, k, K)
+        valid_t = jnp.swapaxes(valid, 1, 2)  # (B, k, K)
+
         if self.gather_mode == "proj":
             # project-before-gather (see EGNNEdgeNbrList): both chains'
             # gathered-side first matmuls run at node level, one one-hot
@@ -341,32 +353,36 @@ class EGNNEdgeKNNPairs(nn.Module):
 
             w_stack = jnp.concatenate([w_gathered.astype(cd), cw_gathered.astype(cd)], axis=1)
             proj_other = h_other.astype(cd) @ w_stack  # (B, N, 2H)
-            proj_g, x_g = onehot_gather([proj_other, x_other], idx)
+            proj_g, x_g = onehot_gather([proj_other, x_other], idx_t)
             h_g = None
         else:
-            h_g, x_g = _gather_nodes(h_other, x_other, idx, self.gather_mode)  # (B,K,k,F/3)
+            # gather the features pre-cast to the compute dtype: elementwise
+            # cast commutes with row selection, and a bf16 gather writes the
+            # pair tensor in bf16 directly (no f32 round-trip convert)
+            h_g, x_g = _gather_nodes(h_other.astype(cd), x_other, idx_t, self.gather_mode)
             proj_g = None
 
+        x_a = x_anchor[:, None, :, :]  # (B, 1, K, 3) broadcasts over k
         if self.anchor_is_src:
-            diff = x_anchor[:, :, None, :] - x_g  # x_src - x_dst
+            diff = x_a - x_g  # x_src - x_dst
         else:
-            diff = x_g - x_anchor[:, :, None, :]
+            diff = x_g - x_a
 
-        diff = jnp.where(valid[..., None], diff, 0.0)
-        dij = jnp.linalg.norm(diff + 1e-30, axis=-1, keepdims=True)
+        diff = jnp.where(valid_t[..., None], diff, 0.0)
+        dij = jnp.linalg.norm(diff + 1e-30, axis=-1, keepdims=True)  # (B,k,K,1)
         x_unit = diff / (dij + 1.0)
 
         if self.split_last:
             ha_m, ha_e = h_anchor[..., :-1].astype(cd), h_anchor[..., -1:].astype(cd)
-            hg_m, hg_e = h_g[..., :-1].astype(cd), h_g[..., -1:].astype(cd)
+            hg_m, hg_e = h_g[..., :-1], h_g[..., -1:]
             dij_c = dij.astype(cd)
 
             def preact_split(wa, wg, wdij, bias):
                 a_m, a_e = _smatmul(ha_m, ha_e, wa.astype(cd))
                 g_m, g_e = _smatmul(hg_m, hg_e, wg.astype(cd))
-                pm = (a_m[:, :, None, :] + g_m
+                pm = (a_m[:, None, :, :] + g_m
                       + dij_c * wdij[0, :-1].astype(cd) + bias[:-1].astype(cd))
-                pe = (a_e[:, :, None, :] + g_e
+                pe = (a_e[:, None, :, :] + g_e
                       + dij_c * wdij[0, -1].astype(cd) + bias[-1].astype(cd))
                 return pm, pe
 
@@ -375,7 +391,7 @@ class EGNNEdgeKNNPairs(nn.Module):
             m_m, m_e = _smatmul(m_m, m_e, l2_w.astype(cd), l2_b.astype(cd))
             m_m, m_e = nn.silu(m_m), nn.silu(m_e)
             gate = nn.sigmoid(_smatvec(m_m, m_e, at_w.astype(cd), at_b.astype(cd)))
-            vmask = valid[..., None].astype(m_m.dtype)
+            vmask = valid_t[..., None].astype(m_m.dtype)
             msg_m, msg_e = (m_m * gate) * vmask, (m_e * gate) * vmask
 
             c_m, c_e = preact_split(cw_anchor, cw_gathered, c_wdij, c_b)
@@ -387,34 +403,33 @@ class EGNNEdgeKNNPairs(nn.Module):
                 msg_x = jnp.tanh(scalar) * x_unit * self.coords_range
             else:
                 msg_x = scalar * x_unit
-            msg_x = msg_x * valid[..., None]
+            msg_x = msg_x * valid_t[..., None]
 
             if self.anchor_is_src:
-                onehot = (jax.nn.one_hot(idx, n_other, dtype=msg_m.dtype)
-                          * valid[..., None].astype(msg_m.dtype)).reshape(b, K * k, n_other)
+                onehot = (jax.nn.one_hot(idx_t, n_other, dtype=msg_m.dtype)
+                          * valid_t[..., None].astype(msg_m.dtype))  # (B,k,K,N)
                 agg_h = jnp.concatenate([
-                    jnp.einsum("ben,beh->bnh", onehot, msg_m.reshape(b, K * k, h - 1),
+                    jnp.einsum("bken,bkeh->bnh", onehot, msg_m,
                                preferred_element_type=jnp.float32),
-                    jnp.einsum("ben,beh->bnh", onehot, msg_e.reshape(b, K * k, 1),
+                    jnp.einsum("bken,bkeh->bnh", onehot, msg_e,
                                preferred_element_type=jnp.float32),
                 ], axis=-1)
-                agg_x = jnp.einsum("ben,bec->bnc", onehot.astype(jnp.float32),
-                                   msg_x.reshape(b, K * k, 3))
+                agg_x = jnp.einsum("bken,bkec->bnc", onehot.astype(jnp.float32), msg_x)
                 return agg_h, agg_x
             agg_h = jnp.concatenate([
-                jnp.sum(msg_m.astype(jnp.float32), axis=2),
-                jnp.sum(msg_e.astype(jnp.float32), axis=2),
+                jnp.sum(msg_m.astype(jnp.float32), axis=1),
+                jnp.sum(msg_e.astype(jnp.float32), axis=1),
             ], axis=-1)
-            agg_x = jnp.sum(msg_x, axis=2)
+            agg_x = jnp.sum(msg_x, axis=1)
             return agg_h, agg_x
 
         def preact(wa, wg, wdij, bias, chain=0):
             if proj_g is not None:  # proj mode: gathered projections, slice per chain
                 g_term = proj_g[..., chain * h : (chain + 1) * h]
             else:
-                g_term = h_g.astype(cd) @ wg.astype(cd)
+                g_term = h_g @ wg.astype(cd)
             return (
-                (h_anchor.astype(cd) @ wa.astype(cd))[:, :, None, :]
+                (h_anchor.astype(cd) @ wa.astype(cd))[:, None, :, :]
                 + g_term
                 + dij.astype(cd) * wdij.astype(cd)
                 + bias.astype(cd)
@@ -423,7 +438,7 @@ class EGNNEdgeKNNPairs(nn.Module):
         m = nn.silu(preact(w_anchor, w_gathered, e_wdij[0][None, None, None], e_b))
         m = nn.silu(m @ l2_w.astype(cd) + l2_b.astype(cd))
         gate = nn.sigmoid(m @ at_w.astype(cd) + at_b.astype(cd))
-        msg_h = (m * gate) * valid[..., None].astype(m.dtype)
+        msg_h = (m * gate) * valid_t[..., None].astype(m.dtype)
 
         c = nn.silu(preact(cw_anchor, cw_gathered, c_wdij[0][None, None, None], c_b, chain=1))
         c = nn.silu(c @ c2_w.astype(cd) + c2_b.astype(cd))
@@ -432,19 +447,19 @@ class EGNNEdgeKNNPairs(nn.Module):
             msg_x = jnp.tanh(scalar) * x_unit * self.coords_range
         else:
             msg_x = scalar * x_unit
-        msg_x = msg_x * valid[..., None]
+        msg_x = msg_x * valid_t[..., None]
 
         if self.anchor_is_src:
-            # scatter to the gathered (other) side via one-hot matmul
-            onehot = (jax.nn.one_hot(idx, n_other, dtype=msg_h.dtype)
-                      * valid[..., None].astype(msg_h.dtype)).reshape(b, K * k, n_other)
-            agg_h = jnp.einsum("ben,beh->bnh", onehot, msg_h.reshape(b, K * k, h),
+            # scatter to the gathered (other) side via one-hot matmul; the
+            # einsum merges the adjacent (k, K) major axes without a reshape
+            onehot = (jax.nn.one_hot(idx_t, n_other, dtype=msg_h.dtype)
+                      * valid_t[..., None].astype(msg_h.dtype))  # (B,k,K,N)
+            agg_h = jnp.einsum("bken,bkeh->bnh", onehot, msg_h,
                                preferred_element_type=jnp.float32)
-            agg_x = jnp.einsum("ben,bec->bnc", onehot.astype(jnp.float32),
-                               msg_x.reshape(b, K * k, 3))
+            agg_x = jnp.einsum("bken,bkec->bnc", onehot.astype(jnp.float32), msg_x)
             return agg_h, agg_x
-        agg_h = jnp.sum(msg_h.astype(jnp.float32), axis=2)
-        agg_x = jnp.sum(msg_x, axis=2)
+        agg_h = jnp.sum(msg_h.astype(jnp.float32), axis=1)
+        agg_x = jnp.sum(msg_x, axis=1)
         return agg_h, agg_x
 
 

@@ -167,17 +167,24 @@ def onehot_gather(arrays, idx):
     """
     b = idx.shape[0]
     n = arrays[0].shape[1]
-    oh = jax.nn.one_hot(idx.reshape(b, -1), n, dtype=jnp.float32)
     outs = []
     for a in arrays:
         tail = a.shape[2:]
         flat = 1
         for t in tail:
             flat *= t
-        # bf16 arrays ride the MXU in bf16 (halves the gather's HBM reads);
-        # the f32-accumulated single product is still bitwise equal to take.
+        # bf16 arrays ride the MXU in bf16 (halves the gather's HBM reads)
+        # and the OUTPUT stays bf16: the one-hot contraction sums exactly one
+        # nonzero product (1.0 * v), so bf16 accumulation is exact and the
+        # result is still bitwise equal to take — no f32 round-trip convert
+        # of the gathered pair tensor.
         ad = a.dtype if a.dtype == jnp.bfloat16 else jnp.float32
-        g = jnp.einsum("ben,bnf->bef", oh.astype(ad), a.reshape(b, n, flat).astype(ad),
-                       preferred_element_type=jnp.float32)
-        outs.append(g.reshape(*idx.shape, *tail).astype(a.dtype))
+        oh = jax.nn.one_hot(idx, n, dtype=ad)  # (B, *idx[1:], N) — no flatten:
+        # the einsum's free dims merge adjacent major axes (layout-free);
+        # an explicit reshape through the tiled minor dims would copy.
+        g = jnp.einsum("b...n,bnf->b...f", oh, a.reshape(b, n, flat).astype(ad),
+                       preferred_element_type=ad)
+        if tail and len(tail) > 1:
+            g = g.reshape(*idx.shape, *tail)
+        outs.append(g.astype(a.dtype))
     return outs

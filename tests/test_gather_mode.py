@@ -157,3 +157,39 @@ def test_dynamics_proj_gather_close_to_take(compute_dtype):
                                rtol=tol, atol=tol)
     np.testing.assert_allclose(np.asarray(out_t["lig_h"]), np.asarray(out_p["lig_h"]),
                                rtol=tol, atol=tol)
+
+
+def test_precast_pair_params_bitwise():
+    """precast_pair_params (the scan weight-cast hoist) must be bitwise
+    invisible: every pre-cast leaf is consumed via .astype(compute_dtype)
+    anyway. Checked through the full EGNN dynamics at bf16."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from kpdiff_tpu.models.dynamics_egnn import EGNNDynamics, precast_pair_params
+
+    rng = np.random.default_rng(5)
+    b, nl, k, F = 2, 6, 5, 7
+    dyn = EGNNDynamics(atom_nf=F, rec_nf=9, n_layers=2, hidden_nf=16,
+                       use_tanh=True, update_kp_feat=True, kl_k=2,
+                       compute_dtype="bfloat16", nbr_gather="onehot")
+    args = (
+        jnp.asarray(rng.normal(size=(b, nl, 3)), jnp.float32),
+        jnp.asarray(rng.normal(size=(b, nl, F)), jnp.float32),
+        jnp.ones((b, nl), bool),
+        jnp.asarray(rng.normal(size=(b, k, 3)), jnp.float32),
+        jnp.asarray(rng.normal(size=(b, k, 9)), jnp.float32),
+        jnp.ones((b, k), bool),
+        jnp.asarray([0.25, 0.5], jnp.float32),
+        jnp.ones((b, k, k), bool),
+    )
+    params = dyn.init(jax.random.key(0), *args)["params"]
+    eps_h0, eps_x0 = jax.jit(lambda p: dyn.apply({"params": p}, *args))(params)
+    pc = precast_pair_params(params, "bfloat16")
+    # the cast actually moved something
+    leaves = jax.tree_util.tree_leaves(pc)
+    assert any(l.dtype == jnp.bfloat16 for l in leaves)
+    eps_h1, eps_x1 = jax.jit(lambda p: dyn.apply({"params": p}, *args))(pc)
+    np.testing.assert_array_equal(np.asarray(eps_h0), np.asarray(eps_h1))
+    np.testing.assert_array_equal(np.asarray(eps_x0), np.asarray(eps_x1))
