@@ -46,6 +46,10 @@ def main():
                          "final-step artifacts outlive pruned checkpoints")
     ap.add_argument("--n_receptors", type=int, default=8)
     ap.add_argument("--n_replicates", type=int, default=12)
+    ap.add_argument("--batches", type=int, default=1,
+                    help="sampling launches per K, pooled before metrics — "
+                         "raises the molecule count so rate metrics carry "
+                         "tight binomial CIs (demo tables report mean±CI)")
     ap.add_argument("--dataset_size", type=int, default=4096)  # train-CLI default split sizes
     ap.add_argument("--seed", type=int, default=43)
     ap.add_argument("--out", default="STRIDED_QUALITY.json")
@@ -110,21 +114,30 @@ def main():
             p, r, e, kk_, sample_steps=K, eta=args.eta))
         out = fn(params, jax.random.key(100 + K), enc, kk)
         np.asarray(out["lig_x"])  # force
-        t0 = time.time()
-        out = fn(params, jax.random.key(200 + K), enc, kk)
-        lig_x, lig_h, lig_mask = map(np.asarray, (out["lig_x"], out["lig_h"], out["lig_mask"]))
-        dt = time.time() - t0
         positions, elements = [], []
-        for b in range(lig_x.shape[0]):
-            m = lig_mask[b]
-            if m.sum() == 0:
-                continue
-            feats = lig_h[b][m][:, : len(lig_elements)]
-            positions.append(lig_x[b][m])
-            elements.append([lig_elements[j] for j in feats.argmax(1)])
+        dt = 0.0
+        for rep in range(args.batches):
+            t0 = time.time()
+            out = fn(params, jax.random.key(200 + K + 1000 * rep), enc, kk)
+            lig_x, lig_h, lig_mask = map(np.asarray, (out["lig_x"], out["lig_h"], out["lig_mask"]))
+            dt += time.time() - t0
+            for b in range(lig_x.shape[0]):
+                m = lig_mask[b]
+                if m.sum() == 0:
+                    continue
+                feats = lig_h[b][m][:, : len(lig_elements)]
+                positions.append(lig_x[b][m])
+                elements.append([lig_elements[j] for j in feats.argmax(1)])
         metrics = evaluate_samples(positions, elements, train_type_counts=tc, element_list=lig_elements)
-        row = {"K": K, "eta": args.eta, "sec_per_mol": round(dt / max(len(positions), 1), 4)}
+        n_mol = len(positions)
+        row = {"K": K, "eta": args.eta, "n_molecules": n_mol,
+               "sec_per_mol": round(dt / max(n_mol, 1), 4)}
         row.update({k: (round(v, 4) if isinstance(v, float) else v) for k, v in metrics.items()})
+        # 95% binomial CIs for the rate metrics (demo tables report mean±CI)
+        for rate in ("validity", "connectivity", "uniqueness"):
+            p_hat = metrics.get(rate)
+            if isinstance(p_hat, float) and n_mol:
+                row[f"{rate}_ci95"] = round(1.96 * (p_hat * (1 - p_hat) / n_mol) ** 0.5, 4)
         print(json.dumps(row), flush=True)
         rows.append(row)
 

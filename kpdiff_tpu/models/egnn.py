@@ -435,31 +435,38 @@ class EGNNEdgeKNNPairs(nn.Module):
                 + bias.astype(cd)
             )
 
+        # gate and validity fold into the aggregation COEFFICIENTS (same
+        # trick as EGNNEdgeDense): the gated message tensor never
+        # materializes — the lin2 output m is the only pair tensor each
+        # chain writes, and the reduce/one-hot contraction reads it once.
         m = nn.silu(preact(w_anchor, w_gathered, e_wdij[0][None, None, None], e_b))
         m = nn.silu(m @ l2_w.astype(cd) + l2_b.astype(cd))
-        gate = nn.sigmoid(m @ at_w.astype(cd) + at_b.astype(cd))
-        msg_h = (m * gate) * valid_t[..., None].astype(m.dtype)
+        gate = nn.sigmoid(m @ at_w.astype(cd) + at_b.astype(cd))  # (B,k,K,1)
+        coeff = gate[..., 0] * valid_t.astype(m.dtype)  # (B,k,K)
 
         c = nn.silu(preact(cw_anchor, cw_gathered, c_wdij[0][None, None, None], c_b, chain=1))
         c = nn.silu(c @ c2_w.astype(cd) + c2_b.astype(cd))
         scalar = (c @ w_out.astype(c.dtype)).astype(jnp.float32)
         if self.use_tanh:
-            msg_x = jnp.tanh(scalar) * x_unit * self.coords_range
-        else:
-            msg_x = scalar * x_unit
-        msg_x = msg_x * valid_t[..., None]
+            scalar = jnp.tanh(scalar) * self.coords_range
+        # fold scalar, validity and the (d+1) normalizer into one coefficient
+        # over the raw diffs (already oriented x_src - x_dst in both
+        # directions above): x_unit/msg_x never materialize
+        coeff_x = (valid_t.astype(jnp.float32) * scalar[..., 0]
+                   / (dij[..., 0] + 1.0))  # (B,k,K)
 
         if self.anchor_is_src:
             # scatter to the gathered (other) side via one-hot matmul; the
             # einsum merges the adjacent (k, K) major axes without a reshape
-            onehot = (jax.nn.one_hot(idx_t, n_other, dtype=msg_h.dtype)
-                      * valid_t[..., None].astype(msg_h.dtype))  # (B,k,K,N)
-            agg_h = jnp.einsum("bken,bkeh->bnh", onehot, msg_h,
+            onehot = jax.nn.one_hot(idx_t, n_other, dtype=m.dtype)  # (B,k,K,N)
+            agg_h = jnp.einsum("bken,bke,bkeh->bnh", onehot, coeff, m,
                                preferred_element_type=jnp.float32)
-            agg_x = jnp.einsum("bken,bkec->bnc", onehot.astype(jnp.float32), msg_x)
+            agg_x = jnp.einsum("bken,bke,bkec->bnc", onehot.astype(jnp.float32),
+                               coeff_x, diff)
             return agg_h, agg_x
-        agg_h = jnp.sum(msg_h.astype(jnp.float32), axis=1)
-        agg_x = jnp.sum(msg_x, axis=1)
+        agg_h = jnp.einsum("bke,bkeh->beh", coeff, m,
+                           preferred_element_type=jnp.float32)
+        agg_x = jnp.einsum("bke,bkec->bec", coeff_x, diff)
         return agg_h, agg_x
 
 
