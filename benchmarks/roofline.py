@@ -68,6 +68,8 @@ A100_BW = 1.6e12  # achievable of 2.0 peak
 LAUNCH_US = 8.0
 REBUILD_MS = 1.0
 
+_TRANS_RATE = None  # lazily calibrated once per sweep (micro_vpu.py)
+
 
 def chip_peaks():
     kind = jax.devices()[0].device_kind.lower()
@@ -92,7 +94,8 @@ def _cost(fn, *args):
         }
     except Exception:
         pass
-    return float(ca.get("flops", 0.0)), float(ca.get("bytes accessed", 0.0)), mem
+    return (float(ca.get("flops", 0.0)), float(ca.get("bytes accessed", 0.0)),
+            float(ca.get("transcendentals", 0.0)), mem)
 
 
 def reference_edge_counts(cpx, model):
@@ -230,7 +233,7 @@ def bench_variant(config, trained_run=None, reps=3, compare_kk=False, dyn_overri
 
     s100 = jax.jit(lambda p, r, e, k: model100.sample(p, r, e, k))
     s1 = jax.jit(lambda p, r, e, k: model1.sample(p, r, e, k))
-    flops_step, bytes_step, mem_step = _cost(s1, params, jax.random.key(1), enc, kk)
+    flops_step, bytes_step, trans_step, mem_step = _cost(s1, params, jax.random.key(1), enc, kk)
 
     out = s100(params, jax.random.key(1), enc, kk)
     np.asarray(out["lig_x"])  # force completion (axon block_until_ready no-op)
@@ -243,7 +246,21 @@ def bench_variant(config, trained_run=None, reps=3, compare_kk=False, dyn_overri
     step_ms = min(ts) / 100 * 1e3
 
     kind, (peak_flops, peak_bw) = chip_peaks()
-    floor_ms = max(flops_step / peak_flops, bytes_step / peak_bw) * 1e3
+    bytes_floor_ms = max(flops_step / peak_flops, bytes_step / peak_bw) * 1e3
+    # VPU transcendental floor: the pair MLPs run SiLU (tanh on TPU) over
+    # every pair element 4x per edge type per layer — serial VPU time the
+    # bytes-only floor ignores. Rate calibrated on-chip (micro_vpu.py):
+    # tanh elems/s in EXCESS of the bandwidth cost of the same passes.
+    global _TRANS_RATE
+    if _TRANS_RATE is None:
+        from benchmarks.micro_vpu import transcendental_rate
+
+        _TRANS_RATE = transcendental_rate()
+        print(f"# calibrated tanh rate: "
+              f"{'bandwidth-bound (free)' if _TRANS_RATE == float('inf') else f'{_TRANS_RATE/1e9:.1f}G elems/s'}",
+              flush=True)
+    vpu_floor_ms = (trans_step / _TRANS_RATE * 1e3) if _TRANS_RATE != float("inf") else 0.0
+    floor_ms = max(bytes_floor_ms, vpu_floor_ms)
     # edge counts on the ENCODED complex: learned-encoder configs place
     # keypoints at runtime (enc.kp_x), the input placeholders are empty
     ref = ref_estimate(model100, enc, batch, T=model_T)
@@ -254,6 +271,9 @@ def bench_variant(config, trained_run=None, reps=3, compare_kk=False, dyn_overri
         "T": model_T, "ms_per_step": round(step_ms, 2),
         "s_per_lig": round(step_ms * model_T / batch / 1e3, 4),
         "flops_per_step": flops_step, "bytes_per_step": bytes_step,
+        "transcendentals_per_step": trans_step,
+        "bytes_floor_ms": round(bytes_floor_ms, 2),
+        "vpu_floor_ms": round(vpu_floor_ms, 2),
         "roofline_floor_ms": round(floor_ms, 2),
         "pct_of_floor": round(100 * floor_ms / step_ms, 1),
         "device": kind,
