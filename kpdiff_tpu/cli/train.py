@@ -179,6 +179,7 @@ def main(argv=None):
         epochs=tr.get("epochs", 3),
         rec_encoder_loss_weight=tr.get("rec_encoder_loss_weight", 0.1),
         rl_hinge_loss_weight=tr.get("rl_hinge_loss_weight", 0.0),
+        grad_accum=int(tr.get("grad_accum", 1) or 1),
         scheduler=SchedulerConfig(
             base_lr=tr.get("learning_rate", 1e-4),
             warmup_length=sched_cfg.get("warmup_length", 0),

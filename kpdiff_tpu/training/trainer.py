@@ -40,6 +40,16 @@ class TrainConfig:
     epochs: int = 3
     rec_encoder_loss_weight: float = 0.1
     rl_hinge_loss_weight: float = 0.0
+    # split each batch into grad_accum sequential micro-batches inside the
+    # jitted step (lax.scan), averaging micro-gradients before the optimizer
+    # update. Peak HBM is ONE micro-batch's backward + a param-sized grad
+    # accumulator — reference-scale effective batches on a 16G chip (the
+    # egnn/gvp_all_atom configs OOM at batch 32 even remat'd; measured with
+    # benchmarks/train_memory.py). Standard grad-accum semantics: each
+    # micro-batch's loss keeps its own atom-count normalizers, so this
+    # equals the full-batch gradient exactly when the micro normalizers
+    # match, and the usual micro-mean otherwise.
+    grad_accum: int = 1
     scheduler: SchedulerConfig = dataclasses.field(default_factory=SchedulerConfig)
 
 
@@ -117,15 +127,58 @@ def make_train_step(
         w_rec = rec_encoder_weight(sched, epoch_exact)
         lr = learning_rate(sched, epoch_exact)
 
-        def full_loss(params):
-            losses = model.loss(params, rng, batch, t_eps_override=t_eps,
+        def full_loss(params, rng_i, mb, te):
+            losses = model.loss(params, rng_i, mb, t_eps_override=te,
                                 kp_constraint=kp_constraint)
             total = losses["l2"] + w_rec * losses["rec_encoder"]
             if "rl_hinge" in losses:
                 total = total + cfg.rl_hinge_loss_weight * losses["rl_hinge"]
             return total, losses
 
-        (total, losses), grads = jax.value_and_grad(full_loss, has_aux=True)(state.params)
+        accum = max(int(getattr(cfg, "grad_accum", 1) or 1), 1)
+        if accum == 1:
+            (total, losses), grads = jax.value_and_grad(full_loss, has_aux=True)(
+                state.params, rng, batch, t_eps)
+        else:
+            # sequential micro-batches: reshape (B, ...) -> (A, B//A, ...) and
+            # scan, so only one micro backward is live at a time
+            def to_micro(x):
+                if x.shape[0] % accum:
+                    raise ValueError(
+                        f"grad_accum={accum} must divide batch {x.shape[0]}")
+                return x.reshape((accum, x.shape[0] // accum) + x.shape[1:])
+
+            mb_batch = jax.tree_util.tree_map(to_micro, batch)
+            mb_te = (None if t_eps is None
+                     else jax.tree_util.tree_map(to_micro, t_eps))
+            keys = jax.random.split(rng, accum)
+
+            micro0 = jax.tree_util.tree_map(lambda x: x[0], mb_batch)
+            te0 = (None if mb_te is None
+                   else jax.tree_util.tree_map(lambda x: x[0], mb_te))
+            _, loss_shapes = jax.eval_shape(full_loss, state.params, keys[0], micro0, te0)
+            zeros = (
+                jax.tree_util.tree_map(lambda p: jnp.zeros(p.shape, p.dtype), state.params),
+                jnp.zeros((), jnp.float32),
+                jax.tree_util.tree_map(lambda s: jnp.zeros(s.shape, s.dtype), loss_shapes),
+            )
+
+            def body(acc, xs):
+                g_acc, tot_acc, loss_acc = acc
+                key_i, mb = xs[0], xs[1]
+                te = xs[2] if len(xs) > 2 else None
+                (tot_i, losses_i), g_i = jax.value_and_grad(
+                    full_loss, has_aux=True)(state.params, key_i, mb, te)
+                return (jax.tree_util.tree_map(jnp.add, g_acc, g_i),
+                        tot_acc + tot_i,
+                        jax.tree_util.tree_map(jnp.add, loss_acc, losses_i)), None
+
+            xs = (keys, mb_batch) if mb_te is None else (keys, mb_batch, mb_te)
+            (g_sum, tot_sum, loss_sum), _ = jax.lax.scan(body, zeros, xs)
+            inv = 1.0 / accum
+            grads = jax.tree_util.tree_map(lambda g: g * inv, g_sum)
+            total = tot_sum * inv
+            losses = jax.tree_util.tree_map(lambda v: v * inv, loss_sum)
 
         opt_state = _set_lr(state.opt_state, lr)
         updates, opt_state_new = optimizer.update(grads, opt_state, state.params)

@@ -354,3 +354,72 @@ def test_kp_axis_requires_divisible_keypoints():
     step = make_train_step(model, tcfg, opt, iters_per_epoch=10, mesh=mesh, kp_axis="model")
     with pytest.raises(ValueError, match="divisible"):
         step(state, jax.random.key(3), shard_batch_pytree(cpx, mesh))
+
+
+# ------------------------------------------------------- grad accumulation
+
+def test_grad_accum_matches_micro_gradient_mean():
+    """grad_accum=A step == optimizer update on the exact mean of the A
+    micro-batch gradients (same folded keys, same scheduler values) — the
+    seam that lets the all_atom configs train at reference effective batch
+    sizes on a 16G chip (benchmarks/train_memory.py)."""
+    import optax
+
+    from kpdiff_tpu.training.trainer import _set_lr
+
+    model = tiny_model()
+    cpx = synthetic_batch(21, batch=8, n_rec_pad=24, n_lig_pad=10, n_kp=24,
+                          kp_feat_dim=10)
+    tcfg = TrainConfig(learning_rate=1e-3, grad_accum=2,
+                       scheduler=SchedulerConfig(base_lr=1e-3))
+    opt = make_optimizer(tcfg)
+    state = init_train_state(model, opt, jax.random.key(4), cpx)
+    step = make_train_step(model, tcfg, opt, iters_per_epoch=10)
+    key = jax.random.key(5)
+
+    # manual replica of the accumulated update (BEFORE the step call — the
+    # step donates the state, deleting the original param buffers)
+    sched = tcfg.scheduler
+    w_rec = rec_encoder_weight(sched, 0.0)
+    lr = learning_rate(sched, 0.0)
+
+    def full_loss(params, k, mb):
+        losses = model.loss(params, k, mb)
+        return losses["l2"] + w_rec * losses["rec_encoder"], losses
+
+    keys = jax.random.split(key, 2)
+    micro = lambda i: jax.tree_util.tree_map(
+        lambda x: x.reshape((2, 4) + x.shape[1:])[i], cpx)
+    g_tot = None
+    l2s = []
+    for i in range(2):
+        (tot_i, losses_i), g_i = jax.value_and_grad(full_loss, has_aux=True)(
+            state.params, keys[i], micro(i))
+        l2s.append(float(losses_i["l2"]))
+        g_tot = g_i if g_tot is None else jax.tree_util.tree_map(jnp.add, g_tot, g_i)
+    g_mean = jax.tree_util.tree_map(lambda g: g / 2.0, g_tot)
+
+    opt_state = _set_lr(state.opt_state, lr)
+    updates, _ = opt.update(g_mean, opt_state, state.params)
+    params_ref = optax.apply_updates(state.params, updates)
+    params_ref = jax.device_get(params_ref)
+
+    s_acc, m_acc = step(state, key, cpx)
+
+    assert float(m_acc["l2"]) == pytest.approx(np.mean(l2s), rel=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(s_acc.params),
+                    jax.tree_util.tree_leaves(params_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
+
+
+def test_grad_accum_requires_divisible_batch():
+    model = tiny_model()
+    cpx = synthetic_batch(22, batch=6, n_rec_pad=24, n_lig_pad=10, n_kp=24,
+                          kp_feat_dim=10)
+    tcfg = TrainConfig(grad_accum=4, scheduler=SchedulerConfig(base_lr=1e-4))
+    opt = make_optimizer(tcfg)
+    state = init_train_state(model, opt, jax.random.key(6), cpx)
+    step = make_train_step(model, tcfg, opt, iters_per_epoch=10)
+    with pytest.raises(ValueError, match="grad_accum"):
+        step(state, jax.random.key(7), cpx)
