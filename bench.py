@@ -158,10 +158,14 @@ def main():
     if deploy is None and full is None:
         print(f"# all bucket measurements failed: {detail}", file=sys.stderr)
         raise RuntimeError(f"bench: no bucket leg succeeded ({detail})")
-    if deploy is None:  # fall back to the parity chain as headline
+    mode_label = f"K{DEPLOY_STEPS}"
+    if deploy is None:  # fall back to the parity chain as headline — and
+        # say so in the metric name, so a full-chain number is never
+        # mislabeled as the strided deployment mode
         deploy = full
+        mode_label = "T1000full"
     result = {
-        "metric": f"sample_sec_per_ligand_egnn_40kp_K{DEPLOY_STEPS}_b128",
+        "metric": f"sample_sec_per_ligand_egnn_40kp_{mode_label}_b128",
         "value": round(deploy, 5),
         "unit": "s/ligand",
         "vs_baseline": round(BASELINE_SEC_PER_LIGAND / deploy, 2),

@@ -133,11 +133,15 @@ def main():
         row = {"K": K, "eta": args.eta, "n_molecules": n_mol,
                "sec_per_mol": round(dt / max(n_mol, 1), 4)}
         row.update({k: (round(v, 4) if isinstance(v, float) else v) for k, v in metrics.items()})
-        # 95% binomial CIs for the rate metrics (demo tables report mean±CI)
-        for rate in ("validity", "connectivity", "uniqueness"):
+        # 95% binomial CIs for the rate metrics (demo tables report mean±CI).
+        # uniqueness is computed over VALID molecules only (metrics.py), so
+        # its CI uses that smaller sample size, not n_mol
+        n_valid = max(int(round((metrics.get("validity") or 0.0) * n_mol)), 1)
+        for rate, n_rate in (("validity", n_mol), ("connectivity", n_mol),
+                             ("uniqueness", n_valid)):
             p_hat = metrics.get(rate)
-            if isinstance(p_hat, float) and n_mol:
-                row[f"{rate}_ci95"] = round(1.96 * (p_hat * (1 - p_hat) / n_mol) ** 0.5, 4)
+            if isinstance(p_hat, float) and n_rate:
+                row[f"{rate}_ci95"] = round(1.96 * (p_hat * (1 - p_hat) / n_rate) ** 0.5, 4)
         print(json.dumps(row), flush=True)
         rows.append(row)
 

@@ -103,16 +103,20 @@ class MolFeatures:
         self.implicit_h = self._implicit_h()
 
     # -- rings ------------------------------------------------------------
-    def _sssr(self, max_size: int = 8) -> List[List[int]]:
-        """Smallest-set-of-smallest-rings approximation: enumerate simple
-        cycles up to max_size, keep smallest rings covering the cycle space
-        (circuit rank = |E| - |V| + components)."""
+    def _sssr(self, max_size: Optional[int] = None) -> List[List[int]]:
+        """Smallest-set-of-smallest-rings approximation: for every bond take
+        the shortest alternative path (BFS), keep smallest rings covering the
+        cycle space (circuit rank = |E| - |V| + components). No size cap by
+        default — macrocycles must be perceived or the macrocycle structural
+        alert, the SA macro penalty and ring-bond rotatable exclusion all
+        silently miss them (round-4 review finding)."""
         mol = self.mol
         n = mol.n_atoms
         cycles: Dict[FrozenSet[int], List[int]] = {}
         # BFS shortest alternative path for each bond -> smallest ring through it
         for a, b, _ in mol.bonds:
-            path = self._shortest_path(a, b, exclude_bond=(a, b), max_len=max_size - 1)
+            path = self._shortest_path(a, b, exclude_bond=(a, b),
+                                       max_len=(max_size - 1) if max_size else n)
             if path is not None:
                 key = frozenset(path)
                 if key not in cycles or len(path) < len(cycles[key]):

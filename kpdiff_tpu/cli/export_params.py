@@ -55,7 +55,15 @@ def best_step(run_dir: str | Path, metric: str = "connectivity") -> int:
         raise ValueError(f"no analyzer rows with mol_{metric} in {run_dir}/test_metrics.pkl")
     best_score, best_epoch = max(cand)
     final_epoch = max((float(r["epoch"]) for r in rows if "epoch" in r), default=0.0)
-    ipe = max(steps) / max(final_epoch, 1e-9)  # iters per epoch, inferred
+    if final_epoch <= 0:
+        # no test-loss rows carry 'epoch' -> iters/epoch can't be inferred;
+        # fall back to the latest checkpoint LOUDLY instead of silently
+        # resolving every tie to the earliest step
+        print(f"best {metric}={best_score:.4f} at analyzer epoch {best_epoch:g}, "
+              "but no epoch-keyed test rows to map epochs to steps — "
+              "exporting the LATEST checkpoint instead")
+        return max(steps)
+    ipe = max(steps) / final_epoch  # iters per epoch, inferred
     chosen = min(steps, key=lambda s: abs(s / ipe - best_epoch))
     print(f"best {metric}={best_score:.4f} at analyzer epoch {best_epoch:g} "
           f"-> checkpoint step {chosen} (epoch ~{chosen / ipe:.1f})")

@@ -109,21 +109,16 @@ def parse_mmcif(path: str | Path, remove_hydrogen: bool = False,
     if not tags or not rows:
         raise ValueError(f"no _atom_site loop found in {path}")
 
-    col = {t: i for i, t in enumerate(tags)}
-
-    def get(row: List[str], tag: str) -> Optional[str]:
-        i = col.get(f"_atom_site.{tag}")
-        return row[i] if i is not None and i < len(row) else None
-
     name, element, resname, chain = [], [], [], []
     resseq, coords, het, lines = [], [], [], []
     res_index: List[int] = []
     res_key_to_idx: Dict[tuple, int] = {}
     first_model: Optional[str] = None
 
+    # suffix -> column index once, one dict per row in the hot loop
+    suffixes = [t.split(".", 1)[1] for t in tags]
     for r in rows:
-        d = {t: (get(r, t.split(".", 1)[1])) for t in tags}
-        row = {t.split(".", 1)[1]: v for t, v in d.items()}
+        row = {s: (r[i] if i < len(r) else None) for i, s in enumerate(suffixes)}
         model = _first(row, "pdbx_PDB_model_num", default="1")
         if first_model is None:
             first_model = model
@@ -152,11 +147,16 @@ def parse_mmcif(path: str | Path, remove_hydrogen: bool = False,
             )
         except ValueError:
             continue
-        ch = _first(row, "auth_asym_id", "label_asym_id", default="A")[:1]
+        # residue keying uses the FULL chain string — mmCIF auth_asym_id can
+        # be multi-character ('A' vs 'AA' are distinct chains in large
+        # assemblies) and truncating before keying would merge their
+        # residues; only the emitted PDB line truncates to the 1-char column
+        ch_full = _first(row, "auth_asym_id", "label_asym_id", default="A")
+        ch = ch_full[:1]
         rs = _first(row, "auth_seq_id", "label_seq_id", default="0")
         rs_int = int(rs) if rs.lstrip("-").isdigit() else 0
         ins = _first(row, "pdbx_PDB_ins_code", default=" ")
-        key = (ch, rs_int, ins, rn)
+        key = (ch_full, rs_int, ins, rn)
         if key not in res_key_to_idx:
             res_key_to_idx[key] = len(res_key_to_idx)
         name.append(nm)

@@ -370,9 +370,9 @@ class EGNNEdgeKNNPairs(nn.Module):
 
         diff = jnp.where(valid_t[..., None], diff, 0.0)
         dij = jnp.linalg.norm(diff + 1e-30, axis=-1, keepdims=True)  # (B,k,K,1)
-        x_unit = diff / (dij + 1.0)
 
         if self.split_last:
+            x_unit = diff / (dij + 1.0)
             ha_m, ha_e = h_anchor[..., :-1].astype(cd), h_anchor[..., -1:].astype(cd)
             hg_m, hg_e = h_g[..., :-1], h_g[..., -1:]
             dij_c = dij.astype(cd)

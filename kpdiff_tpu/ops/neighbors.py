@@ -184,7 +184,9 @@ def onehot_gather(arrays, idx):
         # an explicit reshape through the tiled minor dims would copy.
         g = jnp.einsum("b...n,bnf->b...f", oh, a.reshape(b, n, flat).astype(ad),
                        preferred_element_type=ad)
-        if tail and len(tail) > 1:
+        if not tail:
+            g = g[..., 0]  # (B, N) input: drop the synthetic flat=1 axis
+        elif len(tail) > 1:
             g = g.reshape(*idx.shape, *tail)
         outs.append(g.astype(a.dtype))
     return outs

@@ -278,3 +278,30 @@ def test_rdkit_equivalence():
         assert num_hbd(f) == rdMolDescriptors.CalcNumHBD(r)
         assert num_rotatable_bonds(f) == rdMolDescriptors.CalcNumRotatableBonds(r)
         assert qed(f) == pytest.approx(QED.qed(r), abs=0.06)
+
+
+def test_macrocycle_ring_perception():
+    """Rings larger than 8 atoms must be perceived: the macrocycle
+    structural alert, the SA macro penalty and the ring-bond rotatable
+    exclusion all key off them (round-4 review finding — the old
+    _sssr(max_size=8) silently treated a 12-ring as an open chain)."""
+    import math
+
+    import numpy as np
+
+    from kpdiff_tpu.analysis import chem_props as cp
+    from kpdiff_tpu.analysis.molecule_builder import BuiltMolecule
+
+    n = 12
+    r = 1.54 / (2 * math.sin(math.pi / n))
+    coords = np.array([[r * math.cos(2 * math.pi * i / n),
+                        r * math.sin(2 * math.pi * i / n), 0.0]
+                       for i in range(n)])
+    bonds = [(i, (i + 1) % n, 1) for i in range(n)]
+    mol = BuiltMolecule(elements=["C"] * n, coords=coords, bonds=bonds)
+    f = cp.MolFeatures(mol)
+    assert [len(x) for x in f.rings] == [12]
+    assert cp.structural_alerts(f) >= 1  # macrocycle alert fires
+    assert cp.num_rotatable_bonds(f) == 0  # ring bonds are not rotatable
+    # a 12-ring is not aromatic under the 5/6-ring rule
+    assert f.aromatic_rings == []
