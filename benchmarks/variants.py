@@ -11,6 +11,10 @@ n_lig = int(sys.argv[2]) if len(sys.argv) > 2 else 32
 T = int(sys.argv[3]) if len(sys.argv) > 3 else 100
 batch = int(sys.argv[4]) if len(sys.argv) > 4 else 32
 compact = (sys.argv[5] != "nocompact") if len(sys.argv) > 5 else True
+# KPDIFF_COMPILER_OPTS: JSON dict of TPU compiler options, passed per-compile
+# through PJRT to the (chipless) remote compile service — the only way to
+# reach xla_tpu_* backend flags here (host XLA_FLAGS has no TPU flags).
+copts = json.loads(os.environ.get("KPDIFF_COMPILER_OPTS", "null"))
 
 cfg = load_config(f"configs/{config}.yml")
 cfg["diffusion"]["n_timesteps"] = T
@@ -26,6 +30,11 @@ sample_fn = jax.jit(lambda p, r, enc, kk: model.sample(p, r, enc, kk))
 enc, kk = encode_fn(params, cpx)
 if compact:
     kk = model.compact_kk(enc, kk)
+if copts:
+    # AOT-compile with explicit TPU backend options; the compiled
+    # executable is then called directly (same signature)
+    sample_fn = sample_fn.lower(params, jax.random.key(1), enc, kk
+                                ).compile(compiler_options=copts)
 kk_desc = "block" if isinstance(kk, dict) else ("nbr" if isinstance(kk, tuple) else "dense")
 t0=time.time(); out = sample_fn(params, jax.random.key(1), enc, kk); np.asarray(out["lig_x"]); comp=time.time()-t0
 ts=[]
