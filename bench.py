@@ -177,7 +177,13 @@ def main():
         result["full_chain_vs_baseline"] = round(BASELINE_SEC_PER_LIGAND / full, 2)
     result["quality_evidence"] = (
         "STRIDED_QUALITY.json + STRIDED_QUALITY_GVP.json (trained weights, "
-        "K=250 row >= full chain on every measured metric)")
+        "K=250 row >= full chain on every measured metric). Caveat: QED/SA/"
+        "logP/diversity are first-party implementations (analysis/"
+        "chem_props.py, analysis/sa_score.py); their rdkit-equivalence tests "
+        "are gated off in this rdkit-less image (verified logP anchors: 4 "
+        "molecules), so within-framework comparisons (K=250 vs full chain) "
+        "are sound but absolute values should not be compared cross-paper "
+        "without an rdkit rerun.")
     print(json.dumps(result))
     print(
         f"# bucket mixture {BUCKET_WEIGHTS}; per-bucket s/lig "

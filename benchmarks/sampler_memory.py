@@ -10,9 +10,13 @@ XLA-flag / scan-unroll variant reduces the scheduler's real HBM traffic
 before spending chip time measuring it.
 
 Usage: python benchmarks/sampler_memory.py <config> [--bucket N] [--batch N]
-         [--steps K] [--unroll N] [--dyn K=V ...]
-Set XLA_FLAGS in the environment per variant (new process per flag set).
-Prints one JSON line.
+         [--steps K] [--unroll N] [--kk-cap N] [--dyn K=V ...]
+TPU backend flags (xla_tpu_*) must go through KPDIFF_COMPILER_OPTS (a JSON
+dict, passed per-compile as compiler_options= — same contract as
+variants.py); host XLA_FLAGS cannot reach the chipless remote-compile
+backend. Use --kk-cap to analyze the capped-neighbor-list kk layout that
+variants.py benchmarks by default (compact_kk); without it the dense kk
+from model.encode is analyzed. Prints one JSON line.
 """
 import os
 import sys
@@ -35,6 +39,10 @@ def main():
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--steps", type=int, default=0, help="sample_steps (0 = full T)")
     ap.add_argument("--unroll", type=int, default=0, help="sets KPDIFF_SCAN_UNROLL")
+    ap.add_argument("--kk-cap", type=int, default=0,
+                    help="analyze the compact_kk capped neighbor-list kk layout "
+                         "with this cap (matches what variants.py times on chip); "
+                         "0 = dense kk as returned by model.encode")
     ap.add_argument("--dyn", action="append", default=[], metavar="KEY=VALUE")
     args = ap.parse_args()
     if args.unroll:
@@ -44,7 +52,8 @@ def main():
     from kpdiff_tpu.models.complex import synthetic_batch
 
     cfg = load_config(f"configs/{args.config}.yml")
-    dyn_key = "dynamics_gvp" if cfg["diffusion"]["architecture"] == "gvp" else "dynamics"
+    arch = cfg["diffusion"].get("architecture", "egnn")  # config.py defaults to egnn
+    dyn_key = "dynamics_gvp" if arch == "gvp" else "dynamics"
     for ov in args.dyn:
         k, _, v = ov.partition("=")
         import ast
@@ -55,8 +64,7 @@ def main():
         cfg[dyn_key][k] = v
     model = model_from_config(cfg)
     pad = PaddingConfig.from_config(cfg)
-    kpv = (cfg.get("dynamics_gvp", {}).get("vector_size", 16)
-           if cfg["diffusion"]["architecture"] == "gvp" else None)
+    kpv = cfg.get("dynamics_gvp", {}).get("vector_size", 16) if arch == "gvp" else None
     cpx = synthetic_batch(
         0, batch=args.batch, n_rec_pad=pad.n_rec, n_lig_pad=args.bucket,
         n_rec_feat=10, n_lig_feat=10, n_kp=pad.n_kp, kp_feat_dim=model.cfg.rec_nf,
@@ -66,16 +74,34 @@ def main():
     key = jax.random.key(0)
     params_sh = jax.eval_shape(model.init, key, cpx)
     enc_sh, kk_sh = jax.eval_shape(model.encode, params_sh, cpx)
+    if args.kk_cap:
+        # the capped neighbor-list layout compact_kk builds (diffusion.py)
+        # — abstract, with an explicit cap instead of the data-dependent
+        # max-degree fetch (which needs a chip)
+        from kpdiff_tpu.ops.neighbors import radius_neighbor_list
+
+        r_kk = (model.cfg.graph_cutoffs["kk"] if model.cfg.rec_encoder_type != "fixed"
+                else model.cfg.graph_cutoffs["rr"])
+        kk_sh = jax.eval_shape(
+            lambda x, m: radius_neighbor_list(x, m, x, m, r_kk, args.kk_cap,
+                                              exclude_self=True),
+            cpx.kp_x, cpx.kp_mask,
+        )
     rng_sh = jax.ShapeDtypeStruct(key.shape, key.dtype)
 
+    # TPU backend flags ride compiler_options (host XLA_FLAGS can't reach
+    # the chipless remote-compile backend) — same contract as variants.py
+    copts = json.loads(os.environ.get("KPDIFF_COMPILER_OPTS", "null"))
     lowered = jax.jit(
         lambda p, r, e, k: model.sample(p, r, e, k, sample_steps=args.steps)
     ).lower(params_sh, rng_sh, enc_sh, kk_sh)
     row = {"config": args.config, "bucket": args.bucket, "batch": args.batch,
            "steps": args.steps or model.cfg.n_timesteps,
            "unroll": args.unroll or 1,
+           "kk": "nbr" if args.kk_cap else "dense", "kk_cap": args.kk_cap,
+           "compiler_opts": copts or {},
            "xla_flags": os.environ.get("XLA_FLAGS", "")}
-    compiled = lowered.compile()
+    compiled = lowered.compile(compiler_options=copts) if copts else lowered.compile()
     ma = compiled.memory_analysis()
     row.update(
         temp_mb=round(ma.temp_size_in_bytes / 2**20, 1),

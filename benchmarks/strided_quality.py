@@ -145,9 +145,16 @@ def main():
         print(json.dumps(row), flush=True)
         rows.append(row)
 
+    caveat = (
+        "QED/SA/logP/diversity are first-party implementations (analysis/"
+        "chem_props.py, analysis/sa_score.py); their rdkit-equivalence tests "
+        "are gated off in rdkit-less images (verified logP anchors: 4 "
+        "molecules). Within-file comparisons (K rows vs full chain) are "
+        "sound; absolute values need an rdkit rerun for cross-paper claims.")
     with open(args.out, "w") as f:
         json.dump({"run_dir": args.run_dir, "step": step_loaded,
-                   "params_npz": args.params_npz, "eta": args.eta, "rows": rows}, f, indent=1)
+                   "params_npz": args.params_npz, "eta": args.eta,
+                   "chem_props_caveat": caveat, "rows": rows}, f, indent=1)
 
 
 if __name__ == "__main__":

@@ -17,6 +17,18 @@ def test_fragment_table_loads_and_parses():
     assert vals.min() >= -5 and vals.max() <= 5  # fragment scores are small
 
 
+def test_packaged_fragment_table_ships_with_package():
+    """The public RDKit-contrib fpscores table is shipped under
+    kpdiff_tpu/analysis/data/ so exact SA works on rdkit-equipped machines
+    without a reference checkout (sascorer.py:32-43 load path)."""
+    import os
+
+    pkg_path = sa_score.FPSCORES_CANDIDATES[0]
+    assert "kpdiff_tpu" in pkg_path and os.path.exists(pkg_path)
+    table = sa_score.load_fragment_scores(pkg_path)
+    assert table is not None and len(table) > 100000
+
+
 def test_scale_mapping_matches_reference_formula():
     # the [1,10] mapping + 8-end smoothing (sascorer.py:104-113)
     def map_raw(raw):

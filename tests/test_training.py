@@ -1,5 +1,11 @@
 """Training loop: scheduler golden values, smoke train (loss decreases),
-data-parallel equivalence on the 8-device CPU mesh, checkpoint roundtrip."""
+data-parallel equivalence on the 8-device CPU mesh, checkpoint roundtrip.
+
+CI gate note: `pytest -m "not slow" tests/test_training.py` is the fast
+gate — ~2.5 min on the 8-device CPU platform (the heavy rows: grad-accum
+exactness ~53 s, non-finite skip ~31 s). Multi-device-mesh equivalence,
+the remat backward compile (~194 s), and the smoke train are `slow`; the
+full file is >10 min on CPU and is meant for the slow lane only."""
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -170,6 +176,7 @@ def test_data_parallel_matches_single_device_gvp():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5)
 
 
+@pytest.mark.slow  # ~194 s on CPU: compiles the remat backward twice
 def test_remat_convs_exact_equivalence():
     """`dynamics.remat` / `dynamics_gvp.remat` rematerialize the conv layers
     in the backward pass (the HBM fix that lets the all-atom/ca configs
