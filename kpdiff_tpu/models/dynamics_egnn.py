@@ -212,8 +212,12 @@ class EGNNDynamics(nn.Module):
     use_pallas: bool = False  # fused VMEM edge kernel (forward-only; sampling)
     # MXU-aligned t-channel: compute the hidden_nf+1-wide pair MLPs as an
     # aligned hidden_nf matmul + rank-1 correction (exact; models/egnn.py).
-    # None/False = off (measured slower on v5e — the sampler is HBM/VPU
-    # bound, BASELINE.md round-2); True = explicit opt-in.
+    # None/False = off. Measured slower on v5e TWICE: the round-2 (…,1)
+    # e-channel layout (0.126->0.156 s/lig, BASELINE.md round-2) and the
+    # round-5 squeezed (B,S,D) e-channel redesign (12.0 vs 9.1 ms/step on
+    # the flagship — the extra e-channel fusions cost more scheduler time
+    # than the 257->256 lane alignment saves; ROUND5.md). Kept as an exact
+    # opt-in and for the Pallas kernel.
     mxu_split_t: bool = None
     # 'onehot' (default) computes neighbor-list/pair-list gathers as one-hot
     # matmuls — bitwise equal to 'take' and 1.25-1.94x faster on every nbr

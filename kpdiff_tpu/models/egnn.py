@@ -62,6 +62,35 @@ def _smatvec(xm, xe, w, b=None):
     return y if b is None else y + b
 
 
+# --- squeezed-e-channel variants (round-5 split redesign) -------------------
+# The round-2 split kept every e-channel pair tensor as (..., 1): on TPU a
+# size-1 minor dim pads to 128 lanes, so each such tensor physically costs
+# HALF of a 256-wide bf16 tensor — which is why that layout measured SLOWER
+# despite MXU-aligned matmuls (BASELINE.md round-2). These variants keep the
+# e-channel SQUEEZED (..., ) so it tiles into the (8,128) plane of the two
+# MAJOR dims: physical cost ~1-3% of the main tensor. The e-channel reduce
+# (sum over the main width) is written as mul+reduce so XLA can multi-output
+# fuse it into the producer of xm instead of re-reading it from HBM.
+
+
+def _smatmul_sq(xm, xe, w, b=None):
+    """x=(xm|xe) @ w, xe squeezed (…,). w: (fm+1, hm+1) -> ym (…,hm), ye (…,)."""
+    ym = xm @ w[:-1, :-1] + xe[..., None] * w[-1, :-1]
+    ye = (jnp.sum(xm * w[:-1, -1], axis=-1, dtype=jnp.float32).astype(xm.dtype)
+          + xe * w[-1, -1])
+    if b is not None:
+        ym = ym + b[:-1]
+        ye = ye + b[-1]
+    return ym, ye
+
+
+def _smatvec_sq(xm, xe, w, b=None):
+    """x=(xm|xe) @ w, w: (fm+1, 1) -> squeezed (…,) f32 scalar output."""
+    y = (jnp.sum(xm * w[:-1, 0], axis=-1, dtype=jnp.float32)
+         + (xe * w[-1, 0]).astype(jnp.float32))
+    return y if b is None else y + b[0]
+
+
 def _gather_nodes(h_src, x_src, idx, mode: str):
     """Gather (features, positions) rows of the source set at `idx`.
 
@@ -194,48 +223,56 @@ class EGNNEdgeDense(nn.Module):
         scalars_in = dij if edge_feat is None else jnp.concatenate([dij, edge_feat], axis=-1)
 
         if self.split_last:
-            # --- MXU-aligned path: last feature channel (timestep) rides as
-            # a separate (…,1) lane; all pair matmuls stay at hidden-1 width.
-            hs_m, hs_e = h_src[..., :-1].astype(cd), h_src[..., -1:].astype(cd)
-            hd_m, hd_e = h_dst[..., :-1].astype(cd), h_dst[..., -1:].astype(cd)
+            # --- MXU-aligned path, squeezed e-channel (round-5 redesign):
+            # pair tensors stay hidden-1 (256) wide so bf16 (16,128) tiles
+            # are exact — 2/3 the physical HBM bytes of the 257-wide layout,
+            # whose minor dim pads to 384 lanes. The t-channel rides as
+            # rank-3 (B,Ns,Nd) tensors with no lane dim of their own (the
+            # round-2 split kept (…,1) tensors, which pad to 128 lanes and
+            # cost half a 256-wide tensor per pass — that layout lost).
+            hs_m, hs_e = h_src[..., :-1].astype(cd), h_src[..., -1].astype(cd)
+            hd_m, hd_e = h_dst[..., :-1].astype(cd), h_dst[..., -1].astype(cd)
             sc = scalars_in.astype(cd)
 
             def pair_preact_split(w_s, w_d, w_dij, b):
                 # per-node projections (cheap), then broadcast-add per pair
-                s_m, s_e = _smatmul(hs_m, hs_e, w_s.astype(cd))
-                d_m, d_e = _smatmul(hd_m, hd_e, w_d.astype(cd))
+                w_dij, b = w_dij.astype(cd), b.astype(cd)
+                s_m, s_e = _smatmul_sq(hs_m, hs_e, w_s.astype(cd))
+                d_m, d_e = _smatmul_sq(hd_m, hd_e, w_d.astype(cd))
                 pm = (s_m[:, :, None, :] + d_m[:, None, :, :]
-                      + sc @ w_dij[:, :-1].astype(cd) + b[:-1].astype(cd))
-                pe = (s_e[:, :, None, :] + d_e[:, None, :, :]
-                      + sc @ w_dij[:, -1:].astype(cd) + b[-1].astype(cd))
+                      + sc @ w_dij[:, :-1] + b[:-1])
+                pe = (s_e[:, :, None] + d_e[:, None, :]
+                      + (sc @ w_dij[:, -1:])[..., 0] + b[-1])
                 return pm, pe
 
             m_m, m_e = pair_preact_split(e_ws, e_wd, e_wdij, e_b)
             m_m, m_e = nn.silu(m_m), nn.silu(m_e)
-            m_m, m_e = _smatmul(m_m, m_e, l2_w.astype(cd), l2_b.astype(cd))
+            m_m, m_e = _smatmul_sq(m_m, m_e, l2_w.astype(cd), l2_b.astype(cd))
             m_m, m_e = nn.silu(m_m), nn.silu(m_e)
-            gate = nn.sigmoid(_smatvec(m_m, m_e, at_w.astype(cd), at_b.astype(cd)))
-            msg_m, msg_e = m_m * gate, m_e * gate
-
-            adj_f = adj.astype(msg_m.dtype)
+            gate = nn.sigmoid(_smatvec_sq(m_m, m_e, at_w.astype(cd), at_b.astype(cd)))
+            coeff = adj.astype(m_m.dtype) * gate.astype(m_m.dtype)
             agg_h = jnp.concatenate([
-                jnp.einsum("bsd,bsdh->bdh", adj_f, msg_m, preferred_element_type=jnp.float32),
-                jnp.einsum("bsd,bsdh->bdh", adj_f, msg_e, preferred_element_type=jnp.float32),
+                jnp.einsum("bsd,bsdh->bdh", coeff, m_m, preferred_element_type=jnp.float32),
+                jnp.einsum("bsd,bsd->bd", coeff, m_e, preferred_element_type=jnp.float32)[..., None],
             ], axis=-1)
             if not self.compute_coord:
                 return agg_h, jnp.zeros_like(x_dst)
 
             c_m, c_e = pair_preact_split(c_ws, c_wd, c_wdij, c_b)
             c_m, c_e = nn.silu(c_m), nn.silu(c_e)
-            for cw, cb in c2:
-                c_m, c_e = _smatmul(c_m, c_e, cw.astype(cd), cb.astype(cd))
+            for cw, cb in c2[:-1]:
+                c_m, c_e = _smatmul_sq(c_m, c_e, cw.astype(cd), cb.astype(cd))
                 c_m, c_e = nn.silu(c_m), nn.silu(c_e)
-            scalar = _smatvec(c_m, c_e, w_out.astype(cd)).astype(jnp.float32)
-            if self.use_tanh:
-                msg_x = jnp.tanh(scalar) * x_unit * self.coords_range
+            if c2:
+                cw, cb = c2[-1]
+                z_m, z_e = _smatmul_sq(c_m, c_e, cw.astype(cd), cb.astype(cd))
+                scalar = _smatvec_sq(nn.silu(z_m), nn.silu(z_e), w_out.astype(cd))
             else:
-                msg_x = scalar * x_unit
-            agg_x = jnp.einsum("bsd,bsdc->bdc", adj.astype(msg_x.dtype), msg_x)
+                scalar = _smatvec_sq(c_m, c_e, w_out.astype(cd))
+            if self.use_tanh:
+                scalar = jnp.tanh(scalar) * self.coords_range
+            coeff_x = adj.astype(jnp.float32) * scalar / (dij[..., 0] + 1.0)
+            agg_x = jnp.einsum("bsd,bsdc->bdc", coeff_x, diff)
             return agg_h, agg_x
 
         def pair_preact(w_s, w_d, w_dij, b):
@@ -252,24 +289,39 @@ class EGNNEdgeDense(nn.Module):
         # passes per chain; the sampler is HBM-bandwidth-bound).
         m = nn.silu(pair_preact(e_ws, e_wd, e_wdij, e_b))
         m = nn.silu(m @ l2_w.astype(cd) + l2_b.astype(cd))
-        gate = nn.sigmoid(m @ at_w.astype(cd) + at_b.astype(cd))
+        # attention matvec written as mul+reduce, NOT a dot: XLA sibling-fuses
+        # the reduce into m's producer (multi-output fusion), removing one
+        # full HBM read of the pair tensor that a (H,1) dot would need.
+        # Products in compute dtype, f32 accumulation — same precision
+        # contract as the MXU dot, reassociation only.
+        gate = nn.sigmoid(
+            jnp.sum(m * at_w[:, 0].astype(cd), axis=-1, dtype=jnp.float32)
+            + at_b[0])
 
-        coeff = adj.astype(m.dtype) * gate[..., 0]
+        coeff = adj.astype(m.dtype) * gate.astype(m.dtype)
         agg_h = jnp.einsum("bsd,bsdh->bdh", coeff, m, preferred_element_type=jnp.float32)
 
         if not self.compute_coord:
             return agg_h, jnp.zeros_like(x_dst)
 
         c = nn.silu(pair_preact(c_ws, c_wd, c_wdij, c_b))
-        for cw, cb in c2:
+        for cw, cb in c2[:-1]:
             c = nn.silu(c @ cw.astype(cd) + cb.astype(cd))
-        # xavier_uniform with gain 0.001 on the output layer (dynamics.py:69-70)
-        scalar = (c @ w_out.astype(c.dtype)).astype(jnp.float32)  # (B,Ns,Nd,1)
+        if c2:
+            cw, cb = c2[-1]
+            c = c @ cw.astype(cd) + cb.astype(cd)
+            # final silu + output matvec as one fused mul+reduce: the last
+            # hidden pair tensor never round-trips through HBM (it lives only
+            # inside the dot's output fusion).
+            # xavier_uniform gain 0.001 on the output layer (dynamics.py:69-70)
+            scalar = jnp.sum(nn.silu(c) * w_out[:, 0].astype(cd), axis=-1, dtype=jnp.float32)
+        else:
+            scalar = jnp.sum(c * w_out[:, 0].astype(cd), axis=-1, dtype=jnp.float32)
         if self.use_tanh:
             scalar = jnp.tanh(scalar) * self.coords_range
         # fold scalar, adj and the (d+1) normalizer into one coefficient and
         # aggregate the raw diffs: x_unit/msg_x never materialize
-        coeff_x = adj.astype(jnp.float32) * scalar[..., 0] / (dij[..., 0] + 1.0)
+        coeff_x = adj.astype(jnp.float32) * scalar / (dij[..., 0] + 1.0)
         agg_x = jnp.einsum("bsd,bsdc->bdc", coeff_x, diff)
         return agg_h, agg_x
 
@@ -372,55 +424,57 @@ class EGNNEdgeKNNPairs(nn.Module):
         dij = jnp.linalg.norm(diff + 1e-30, axis=-1, keepdims=True)  # (B,k,K,1)
 
         if self.split_last:
-            x_unit = diff / (dij + 1.0)
-            ha_m, ha_e = h_anchor[..., :-1].astype(cd), h_anchor[..., -1:].astype(cd)
-            hg_m, hg_e = h_g[..., :-1], h_g[..., -1:]
-            dij_c = dij.astype(cd)
+            # squeezed e-channel split (see EGNNEdgeDense): pair tensors stay
+            # hidden-1 wide; the e-channel rides as (B,k,K) with no lane dim
+            ha_m, ha_e = h_anchor[..., :-1].astype(cd), h_anchor[..., -1].astype(cd)
+            hg_m, hg_e = h_g[..., :-1], h_g[..., -1]
+            dij_c = dij.astype(cd)  # (B,k,K,1)
+            dij_sq = dij_c[..., 0]  # (B,k,K)
 
             def preact_split(wa, wg, wdij, bias):
-                a_m, a_e = _smatmul(ha_m, ha_e, wa.astype(cd))
-                g_m, g_e = _smatmul(hg_m, hg_e, wg.astype(cd))
+                wdij, bias = wdij.astype(cd), bias.astype(cd)
+                a_m, a_e = _smatmul_sq(ha_m, ha_e, wa.astype(cd))
+                g_m, g_e = _smatmul_sq(hg_m, hg_e, wg.astype(cd))
                 pm = (a_m[:, None, :, :] + g_m
-                      + dij_c * wdij[0, :-1].astype(cd) + bias[:-1].astype(cd))
-                pe = (a_e[:, None, :, :] + g_e
-                      + dij_c * wdij[0, -1].astype(cd) + bias[-1].astype(cd))
+                      + dij_c * wdij[0, :-1] + bias[:-1])
+                pe = (a_e[:, None, :] + g_e
+                      + dij_sq * wdij[0, -1] + bias[-1])
                 return pm, pe
 
             m_m, m_e = preact_split(w_anchor, w_gathered, e_wdij, e_b)
             m_m, m_e = nn.silu(m_m), nn.silu(m_e)
-            m_m, m_e = _smatmul(m_m, m_e, l2_w.astype(cd), l2_b.astype(cd))
+            m_m, m_e = _smatmul_sq(m_m, m_e, l2_w.astype(cd), l2_b.astype(cd))
             m_m, m_e = nn.silu(m_m), nn.silu(m_e)
-            gate = nn.sigmoid(_smatvec(m_m, m_e, at_w.astype(cd), at_b.astype(cd)))
-            vmask = valid_t[..., None].astype(m_m.dtype)
-            msg_m, msg_e = (m_m * gate) * vmask, (m_e * gate) * vmask
+            gate = nn.sigmoid(_smatvec_sq(m_m, m_e, at_w.astype(cd), at_b.astype(cd)))
+            coeff = gate.astype(m_m.dtype) * valid_t.astype(m_m.dtype)  # (B,k,K)
 
             c_m, c_e = preact_split(cw_anchor, cw_gathered, c_wdij, c_b)
             c_m, c_e = nn.silu(c_m), nn.silu(c_e)
-            c_m, c_e = _smatmul(c_m, c_e, c2_w.astype(cd), c2_b.astype(cd))
-            c_m, c_e = nn.silu(c_m), nn.silu(c_e)
-            scalar = _smatvec(c_m, c_e, w_out.astype(cd)).astype(jnp.float32)
+            z_m, z_e = _smatmul_sq(c_m, c_e, c2_w.astype(cd), c2_b.astype(cd))
+            scalar = _smatvec_sq(nn.silu(z_m), nn.silu(z_e), w_out.astype(cd))
             if self.use_tanh:
-                msg_x = jnp.tanh(scalar) * x_unit * self.coords_range
-            else:
-                msg_x = scalar * x_unit
-            msg_x = msg_x * valid_t[..., None]
+                scalar = jnp.tanh(scalar) * self.coords_range
+            coeff_x = (valid_t.astype(jnp.float32) * scalar
+                       / (dij[..., 0] + 1.0))  # (B,k,K)
 
             if self.anchor_is_src:
-                onehot = (jax.nn.one_hot(idx_t, n_other, dtype=msg_m.dtype)
-                          * valid_t[..., None].astype(msg_m.dtype))  # (B,k,K,N)
+                onehot = jax.nn.one_hot(idx_t, n_other, dtype=m_m.dtype)  # (B,k,K,N)
                 agg_h = jnp.concatenate([
-                    jnp.einsum("bken,bkeh->bnh", onehot, msg_m,
+                    jnp.einsum("bken,bke,bkeh->bnh", onehot, coeff, m_m,
                                preferred_element_type=jnp.float32),
-                    jnp.einsum("bken,bkeh->bnh", onehot, msg_e,
-                               preferred_element_type=jnp.float32),
+                    jnp.einsum("bken,bke,bke->bn", onehot, coeff, m_e,
+                               preferred_element_type=jnp.float32)[..., None],
                 ], axis=-1)
-                agg_x = jnp.einsum("bken,bkec->bnc", onehot.astype(jnp.float32), msg_x)
+                agg_x = jnp.einsum("bken,bke,bkec->bnc", onehot.astype(jnp.float32),
+                                   coeff_x, diff)
                 return agg_h, agg_x
             agg_h = jnp.concatenate([
-                jnp.sum(msg_m.astype(jnp.float32), axis=1),
-                jnp.sum(msg_e.astype(jnp.float32), axis=1),
+                jnp.einsum("bke,bkeh->beh", coeff, m_m,
+                           preferred_element_type=jnp.float32),
+                jnp.einsum("bke,bke->be", coeff, m_e,
+                           preferred_element_type=jnp.float32)[..., None],
             ], axis=-1)
-            agg_x = jnp.sum(msg_x, axis=1)
+            agg_x = jnp.einsum("bke,bkec->bec", coeff_x, diff)
             return agg_h, agg_x
 
         def preact(wa, wg, wdij, bias, chain=0):
@@ -441,18 +495,25 @@ class EGNNEdgeKNNPairs(nn.Module):
         # chain writes, and the reduce/one-hot contraction reads it once.
         m = nn.silu(preact(w_anchor, w_gathered, e_wdij[0][None, None, None], e_b))
         m = nn.silu(m @ l2_w.astype(cd) + l2_b.astype(cd))
-        gate = nn.sigmoid(m @ at_w.astype(cd) + at_b.astype(cd))  # (B,k,K,1)
-        coeff = gate[..., 0] * valid_t.astype(m.dtype)  # (B,k,K)
+        # attention matvec as fused mul+reduce (see EGNNEdgeDense): one fewer
+        # full read of the pair tensor than a (H,1) dot
+        gate = nn.sigmoid(
+            jnp.sum(m * at_w[:, 0].astype(cd), axis=-1, dtype=jnp.float32)
+            + at_b[0])  # (B,k,K)
+        coeff = gate.astype(m.dtype) * valid_t.astype(m.dtype)  # (B,k,K)
 
         c = nn.silu(preact(cw_anchor, cw_gathered, c_wdij[0][None, None, None], c_b, chain=1))
-        c = nn.silu(c @ c2_w.astype(cd) + c2_b.astype(cd))
-        scalar = (c @ w_out.astype(c.dtype)).astype(jnp.float32)
+        c = c @ c2_w.astype(cd) + c2_b.astype(cd)
+        # final silu + output matvec fused into the dot's output fusion: the
+        # last hidden pair tensor never round-trips through HBM
+        scalar = jnp.sum(
+            (nn.silu(c) * w_out[:, 0].astype(cd)).astype(jnp.float32), axis=-1)
         if self.use_tanh:
             scalar = jnp.tanh(scalar) * self.coords_range
         # fold scalar, validity and the (d+1) normalizer into one coefficient
         # over the raw diffs (already oriented x_src - x_dst in both
         # directions above): x_unit/msg_x never materialize
-        coeff_x = (valid_t.astype(jnp.float32) * scalar[..., 0]
+        coeff_x = (valid_t.astype(jnp.float32) * scalar
                    / (dij[..., 0] + 1.0))  # (B,k,K)
 
         if self.anchor_is_src:
@@ -537,41 +598,47 @@ class EGNNEdgeNbrList(nn.Module):
         x_unit = diff / (dij + 1.0)
 
         if self.split_last:
-            hn_m, hn_e = h_nbr[..., :-1].astype(cd), h_nbr[..., -1:].astype(cd)
-            hd_m, hd_e = h_dst[..., :-1].astype(cd), h_dst[..., -1:].astype(cd)
+            # squeezed e-channel split (see EGNNEdgeDense)
+            hn_m, hn_e = h_nbr[..., :-1].astype(cd), h_nbr[..., -1].astype(cd)
+            hd_m, hd_e = h_dst[..., :-1].astype(cd), h_dst[..., -1].astype(cd)
             sc = (dij if edge_feat is None
                   else jnp.concatenate([dij, edge_feat], axis=-1)).astype(cd)
 
             def preact_split(w_s, w_d, w_dij, bias):
-                n_m, n_e = _smatmul(hn_m, hn_e, w_s.astype(cd))
-                d_m, d_e = _smatmul(hd_m, hd_e, w_d.astype(cd))
-                pm = n_m + d_m[:, :, None, :] + sc @ w_dij[:, :-1].astype(cd) + bias[:-1].astype(cd)
-                pe = n_e + d_e[:, :, None, :] + sc @ w_dij[:, -1:].astype(cd) + bias[-1].astype(cd)
+                w_dij, bias = w_dij.astype(cd), bias.astype(cd)
+                n_m, n_e = _smatmul_sq(hn_m, hn_e, w_s.astype(cd))
+                d_m, d_e = _smatmul_sq(hd_m, hd_e, w_d.astype(cd))
+                pm = n_m + d_m[:, :, None, :] + sc @ w_dij[:, :-1] + bias[:-1]
+                pe = n_e + d_e[:, :, None] + (sc @ w_dij[:, -1:])[..., 0] + bias[-1]
                 return pm, pe
 
             m_m, m_e = preact_split(e_ws, e_wd, e_wdij, e_b)
             m_m, m_e = nn.silu(m_m), nn.silu(m_e)
-            m_m, m_e = _smatmul(m_m, m_e, l2_w.astype(cd), l2_b.astype(cd))
+            m_m, m_e = _smatmul_sq(m_m, m_e, l2_w.astype(cd), l2_b.astype(cd))
             m_m, m_e = nn.silu(m_m), nn.silu(m_e)
-            gate = nn.sigmoid(_smatvec(m_m, m_e, at_w.astype(cd), at_b.astype(cd)))
-            valid_f = nbr_valid[..., None].astype(m_m.dtype)
+            gate = nn.sigmoid(_smatvec_sq(m_m, m_e, at_w.astype(cd), at_b.astype(cd)))
+            coeff = gate.astype(m_m.dtype) * nbr_valid.astype(m_m.dtype)  # (B,Nd,K)
             agg_h = jnp.concatenate([
-                jnp.sum((m_m * gate * valid_f).astype(jnp.float32), axis=2),
-                jnp.sum((m_e * gate * valid_f).astype(jnp.float32), axis=2),
+                jnp.sum(m_m * coeff[..., None], axis=2, dtype=jnp.float32),
+                jnp.sum(m_e * coeff, axis=2, dtype=jnp.float32)[..., None],
             ], axis=-1)
             if not self.compute_coord:
                 return agg_h, jnp.zeros_like(x_dst)
             c_m, c_e = preact_split(c_ws, c_wd, c_wdij, c_b)
             c_m, c_e = nn.silu(c_m), nn.silu(c_e)
-            for cw, cb in c2:
-                c_m, c_e = _smatmul(c_m, c_e, cw.astype(cd), cb.astype(cd))
+            for cw, cb in c2[:-1]:
+                c_m, c_e = _smatmul_sq(c_m, c_e, cw.astype(cd), cb.astype(cd))
                 c_m, c_e = nn.silu(c_m), nn.silu(c_e)
-            scalar = _smatvec(c_m, c_e, w_out.astype(cd)).astype(jnp.float32)
-            if self.use_tanh:
-                msg_x = jnp.tanh(scalar) * x_unit * self.coords_range
+            if c2:
+                cw, cb = c2[-1]
+                z_m, z_e = _smatmul_sq(c_m, c_e, cw.astype(cd), cb.astype(cd))
+                scalar = _smatvec_sq(nn.silu(z_m), nn.silu(z_e), w_out.astype(cd))
             else:
-                msg_x = scalar * x_unit
-            agg_x = jnp.sum(msg_x * nbr_valid[..., None].astype(msg_x.dtype), axis=2)
+                scalar = _smatvec_sq(c_m, c_e, w_out.astype(cd))
+            if self.use_tanh:
+                scalar = jnp.tanh(scalar) * self.coords_range
+            coeff_x = nbr_valid.astype(jnp.float32) * scalar / (dij[..., 0] + 1.0)
+            agg_x = jnp.einsum("bdk,bdkc->bdc", coeff_x, diff)
             return agg_h, agg_x
 
         def pair_preact(w_s, w_d, w_dij, b, chain=0):
@@ -589,24 +656,33 @@ class EGNNEdgeNbrList(nn.Module):
 
         m = nn.silu(pair_preact(e_ws, e_wd, e_wdij, e_b))
         m = nn.silu(m @ l2_w.astype(cd) + l2_b.astype(cd))
-        gate = nn.sigmoid(m @ at_w.astype(cd) + at_b.astype(cd))
-        msg_h = m * gate
-
-        valid_f = nbr_valid[..., None].astype(msg_h.dtype)
-        agg_h = jnp.sum((msg_h * valid_f).astype(jnp.float32), axis=2)
+        # attention matvec as fused mul+reduce (see EGNNEdgeDense): one fewer
+        # full read of the pair tensor than a (H,1) dot
+        gate = nn.sigmoid(
+            jnp.sum(m * at_w[:, 0].astype(cd), axis=-1, dtype=jnp.float32)
+            + at_b[0])  # (B,Nd,K)
+        coeff = gate.astype(m.dtype) * nbr_valid.astype(m.dtype)
+        agg_h = jnp.sum(m * coeff[..., None], axis=2, dtype=jnp.float32)
 
         if not self.compute_coord:
             return agg_h, jnp.zeros_like(x_dst)
 
         c = nn.silu(pair_preact(c_ws, c_wd, c_wdij, c_b, chain=1))
-        for cw, cb in c2:
+        for cw, cb in c2[:-1]:
             c = nn.silu(c @ cw.astype(cd) + cb.astype(cd))
-        scalar = (c @ w_out.astype(c.dtype)).astype(jnp.float32)
-        if self.use_tanh:
-            msg_x = jnp.tanh(scalar) * x_unit * self.coords_range
+        if c2:
+            cw, cb = c2[-1]
+            c = c @ cw.astype(cd) + cb.astype(cd)
+            # final silu + output matvec fused into the dot's output fusion
+            scalar = jnp.sum(nn.silu(c) * w_out[:, 0].astype(cd), axis=-1, dtype=jnp.float32)
         else:
-            msg_x = scalar * x_unit
-        agg_x = jnp.sum(msg_x * nbr_valid[..., None].astype(msg_x.dtype), axis=2)
+            scalar = jnp.sum(c * w_out[:, 0].astype(cd), axis=-1, dtype=jnp.float32)
+        if self.use_tanh:
+            scalar = jnp.tanh(scalar) * self.coords_range
+        # fold scalar, validity and the (d+1) normalizer into one coefficient
+        # over the raw diffs: x_unit/msg_x never materialize
+        coeff_x = (nbr_valid.astype(jnp.float32) * scalar / (dij[..., 0] + 1.0))
+        agg_x = jnp.einsum("bdk,bdkc->bdc", coeff_x, diff)
         return agg_h, agg_x
 
 
