@@ -162,7 +162,9 @@ def main():
         ("demo_r3_gvp40kp_*", "gvp_40kp (160 epochs)", "demo_gvp40kp_curves.png"),
         ("demo_r3_egnnca_*", "egnn_ca (ca_only fixed encoder)", "demo_egnnca_curves.png"),
         ("egnn_all_atom_20260820_011840_*", "egnn_all_atom (fixed encoder, to ep 120)", "demo_egnnallatom_curves.png"),
-        ("gvp_all_atom_20260820_*", "gvp_all_atom (fixed encoder, short demo)", "demo_gvpallatom_curves.png"),
+        ("gvp_all_atom_20260821_*", "gvp_all_atom (fixed encoder, 20-epoch bounded demo)", "demo_gvpallatom_curves.png"),
+        ("egnn_20kp_20260821_*", "egnn_20kp (learned 20-keypoint encoder)", "demo_egnn20kp_curves.png"),
+        ("gvp_20kp_20260821_*", "gvp_20kp (learned 20-keypoint encoder)", "demo_gvp20kp_curves.png"),
         ("demo_r3_gvpca_*", "gvp_ca (ca_only fixed encoder)", "demo_gvpca_curves.png"),
     ]:
         runs = sorted(glob.glob(os.path.join(REPO, "runs", pat)))

@@ -22,19 +22,19 @@ case "$1" in
     ;;
   egnn_20kp)
     exec python -m kpdiff_tpu.cli.train --config configs/egnn_20kp.yml \
-      --synthetic_mol 4096 --seed 42 --epochs 80 \
-      --set training.test_interval=4 \
+      --synthetic_mol 4096 --seed 42 --epochs 60 \
+      --set training.test_interval=3 \
       --set training.train_metrics_interval=0.5 \
-      --set training.sample_interval=20 \
-      --set training.save_interval=10
+      --set training.sample_interval=15 \
+      --set training.save_interval=5
     ;;
   gvp_20kp)
     exec python -m kpdiff_tpu.cli.train --config configs/gvp_20kp.yml \
-      --synthetic_mol 4096 --seed 42 --epochs 80 \
-      --set training.test_interval=4 \
+      --synthetic_mol 4096 --seed 42 --epochs 60 \
+      --set training.test_interval=3 \
       --set training.train_metrics_interval=0.5 \
-      --set training.sample_interval=20 \
-      --set training.save_interval=10
+      --set training.sample_interval=15 \
+      --set training.save_interval=5
     ;;
   *) echo "unknown demo $1"; exit 2;;
 esac
