@@ -195,9 +195,15 @@ def bench_variant(config, trained_run=None, reps=3, compare_kk=False, dyn_overri
     pad = PaddingConfig.from_config(cfg)
     kpv = cfg.get("dynamics_gvp", {}).get("vector_size", 16) if cfg["diffusion"]["architecture"] == "gvp" else None
     model100, model1 = build(100), build(1)
+    # ca_only configs featurize receptors with 20 residue one-hots, not 10
+    # elements — the synthetic batch must match or the trained archives'
+    # first-layer shapes (kp_encoder lin0) cannot load
+    from kpdiff_tpu.config import resolve_feature_sizes
+
+    n_rec_feat, n_lig_feat, _ = resolve_feature_sizes(cfg)
     cpx = synthetic_batch(
-        0, batch=batch, n_rec_pad=pad.n_rec, n_lig_pad=n_lig, n_rec_feat=10,
-        n_lig_feat=10, n_kp=pad.n_kp, kp_feat_dim=model100.cfg.rec_nf,
+        0, batch=batch, n_rec_pad=pad.n_rec, n_lig_pad=n_lig, n_rec_feat=n_rec_feat,
+        n_lig_feat=n_lig_feat, n_kp=pad.n_kp, kp_feat_dim=model100.cfg.rec_nf,
         kp_vec_dim=kpv, n_ip_pad=pad.n_ip, min_rec=260, min_lig=min(18, n_lig - 2),
         min_sep=1.8,
     )
